@@ -1,0 +1,112 @@
+"""spark-submit entry point: run (or resume) a crawl campaign end-to-end.
+
+    spark-submit --master local[32] --py-files vv8spark.zip \
+        jobs/run_campaign.py --workdir /tmp/campaign \
+        --images 2000 --urls 20000 --hosts 200 --batch-size 2000
+
+Generates the deterministic synthetic world (unless the parquet already
+exists under --workdir), runs the wave scheduler to completion, and prints a
+one-line JSON summary. Re-running with the same --workdir resumes from the
+committed watermark (url_sender.py:146-200 checkpoint semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--images", type=int, default=2000)
+    ap.add_argument("--urls", type=int, default=20000)
+    ap.add_argument("--hosts", type=int, default=200)
+    ap.add_argument("--batch-size", type=int, default=2000)
+    ap.add_argument("--default-budget", type=int, default=25)
+    ap.add_argument("--salt-width", type=int, default=8)
+    ap.add_argument("--stop-after-waves", type=int, default=None)
+    ap.add_argument("--parallelism", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("vv8-crawl-campaign")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from visiblev8_crawler_spark.sources import synth
+    from visiblev8_crawler_spark.streaming import scheduler
+
+    world = os.path.join(args.workdir, "world")
+    if not os.path.exists(os.path.join(world, "images.parquet")):
+        # generate the fetch universe distributed; frontier/robots driver-side
+        # (frontier is also available distributed via generate_frontier_spark)
+        os.makedirs(world, exist_ok=True)
+        synth.generate_images_spark(spark, args.images, args.parallelism).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(world, "images.parquet"))
+        synth.generate_frontier_spark(
+            spark, args.urls, args.images, args.hosts, args.parallelism
+        ).write.mode("overwrite").parquet(os.path.join(world, "frontier.parquet"))
+        spark.createDataFrame(synth.generate_robots_pdf(args.hosts)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(world, "robots.parquet"))
+
+    frontier = spark.read.parquet(os.path.join(world, "frontier.parquet"))
+    robots = spark.read.parquet(os.path.join(world, "robots.parquet"))
+    images = spark.read.parquet(os.path.join(world, "images.parquet"))
+
+    t0 = time.perf_counter()
+    cat = scheduler.run_campaign(
+        spark,
+        os.path.join(args.workdir, "catalog"),
+        frontier,
+        robots,
+        images,
+        scheduler.CrawlConfig(
+            batch_size=args.batch_size,
+            default_budget=args.default_budget,
+            salt_width=args.salt_width,
+        ),
+        stop_after_waves=args.stop_after_waves,
+    )
+    wall = time.perf_counter() - t0
+
+    from pyspark.sql import functions as F
+
+    m = (
+        cat.read("metrics")
+        .agg(
+            F.sum("n_attempted").alias("attempted"),
+            F.sum("n_ok").alias("ok"),
+            F.sum("n_failed").alias("failed"),
+            F.max("wave_id").alias("last_wave"),
+        )
+        .collect()[0]
+    )
+    print(
+        json.dumps(
+            {
+                "watermark": cat.watermark(),
+                "waves": (m["last_wave"] or -1) + 1,
+                "attempted": m["attempted"],
+                "ok": m["ok"],
+                "failed": m["failed"],
+                "rejected": cat.read("rejected").count(),
+                "pending_left": cat.read("pending").count(),
+                "wall_s": round(wall, 2),
+                "rows_per_s": round((m["attempted"] or 0) / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

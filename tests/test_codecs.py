@@ -1,0 +1,55 @@
+"""Codec + verify-kernel unit tests (the §2.9 fetch operator's kernels)."""
+
+import numpy as np
+import pytest
+
+from visiblev8_crawler_spark import codecs
+from visiblev8_crawler_spark.sources import synth
+from visiblev8_crawler_spark.verify import verify_image_row
+
+
+def test_png_roundtrip_exact():
+    a = codecs.pixels_for("t1", 24, 16)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(a)), a)
+
+
+def test_png_rejects_truncation():
+    data = codecs.encode_png(codecs.pixels_for("t2", 16, 16))
+    with pytest.raises(ValueError):
+        codecs.decode_png(data[: len(data) // 2])
+
+
+def test_lossy_meets_psnr_gate():
+    a = codecs.pixels_for("t3", 32, 32)
+    d = codecs.decode_lossy(codecs.encode_lossy(a))
+    assert codecs.psnr(d, a) >= codecs.PSNR_LOSSY_THRESHOLD_DB
+
+
+def test_phash_stable_and_sensitive():
+    a = codecs.pixels_for("t4", 32, 32)
+    b = codecs.pixels_for("t5-different", 32, 32)
+    assert codecs.phash64(a) == codecs.phash64(a)
+    assert codecs.phash64(a) != codecs.phash64(b)
+
+
+def test_captions_deterministic():
+    assert codecs.caption_for("x") == codecs.caption_for("x")
+    assert codecs.caption_for("x") != codecs.caption_for("y")
+
+
+def test_verify_matches_expected_statuses():
+    """Every generated corruption bucket is flagged with exactly the intended
+    status (the failed-crawl handling analog, vv8_worker/tasks.py:281-289)."""
+    rows = [synth.image_row(i) for i in range(300)]
+    seen = set()
+    for r in rows:
+        v = verify_image_row(
+            r["image_id"], r["bytes"], r["w"], r["h"], r["fmt"], r["caption"], r["phash"]
+        )
+        assert v.status == r["_expected_status"], r["image_id"]
+        seen.add(v.status)
+    assert {"OK", "DECODE_ERROR"} <= seen  # corpus exercises failures
+
+
+def test_verify_not_found():
+    assert verify_image_row("img_x", None, None, None, None, None, None).status == "NOT_FOUND"

@@ -1,0 +1,123 @@
+"""The north-rule gate: the Spark scheduler reproduces the sequential
+reference simulator exactly — crawl order, URL-seen set, per-row fetch
+verdicts, rejects, per-wave counters — and a killed campaign resumes to an
+identical final state (url_sender.py:146-200 semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from visiblev8_crawler_spark import simulator
+from visiblev8_crawler_spark.streaming import scheduler
+from visiblev8_crawler_spark.streaming.scheduler import CrawlConfig
+
+BATCH = 150
+
+
+@pytest.fixture(scope="module")
+def sim(world):
+    return simulator.simulate_campaign(
+        world["frontier_rows"],
+        world["robots_by_host"],
+        world["images_by_id"],
+        batch_size=BATCH,
+    )
+
+
+@pytest.fixture(scope="module")
+def spark_run(spark, world, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cat"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images, CrawlConfig(batch_size=BATCH)
+    )
+    return cat
+
+
+def test_crawl_order_equality(sim, spark_run):
+    got = {
+        (r["canon_url"], r["wave_id"], r["order_in_wave"])
+        for r in scheduler.crawl_order_df(spark_run).collect()
+    }
+    assert got == set(sim.crawl_order)
+
+
+def test_url_seen_equality(sim, spark_run):
+    got = {r["canon_url"]: r["wave_id"] for r in spark_run.read("url_seen").collect()}
+    assert got == sim.url_seen
+
+
+def test_fetch_verdict_equality(sim, spark_run):
+    got = {
+        (r["canon_url"], r["attempt"]): (r["status"], r["wave_id"])
+        for r in spark_run.read("fetches").collect()
+    }
+    want = {(f["canon_url"], f["attempt"]): (f["status"], f["wave_id"]) for f in sim.fetches}
+    assert got == want
+
+
+def test_rejected_equality(sim, spark_run):
+    got = {(r["seq"], r["reason"]) for r in spark_run.read("rejected").collect()}
+    assert got == {(s, reason) for s, _u, reason in sim.rejected}
+
+
+def test_wave_metrics_equality(sim, spark_run):
+    got = {
+        r["wave_id"]: (r["n_attempted"], r["n_ok"], r["n_failed"])
+        for r in spark_run.read("metrics").collect()
+    }
+    want = {m["wave_id"]: (m["n_attempted"], m["n_ok"], m["n_failed"]) for m in sim.metrics}
+    assert got == want
+
+
+def test_campaign_exercises_failure_paths(sim):
+    statuses = {f["status"] for f in sim.fetches}
+    assert "OK" in statuses and len(statuses) >= 4
+    assert any(f["attempt"] == 2 for f in sim.fetches)  # retry-once happened
+    reasons = {r for _s, _u, r in sim.rejected}
+    assert reasons == {"invalid", "duplicate", "robots"}
+
+
+def test_salt_width_invariance(spark, world):
+    """Salting is a pure physical-plan choice: selection identical at S=1/8/32."""
+    from visiblev8_crawler_spark.operators.dedup import prepare_frontier
+    from visiblev8_crawler_spark.operators.waves import select_wave
+
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    pending, _ = prepare_frontier(frontier, robots)
+    base = None
+    for s in (1, 8, 32):
+        got = sorted(
+            (r["canon_url"], r["order_in_wave"])
+            for r in select_wave(pending, robots, 0, BATCH, salt_width=s).collect()
+        )
+        if base is None:
+            base = got
+        assert got == base
+
+
+def test_kill_resume_identical(spark, world, spark_run, tmp_path_factory):
+    """Stop after one wave (kill analog), resume with a fresh call: final
+    tables byte-equal to the uninterrupted campaign."""
+    root = str(tmp_path_factory.mktemp("cat_resume"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cfg = CrawlConfig(batch_size=BATCH)
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images, cfg, stop_after_waves=1
+    )
+    assert cat.watermark() == 0
+    cat = scheduler.run_campaign(spark, root, frontier, robots, images, cfg)
+
+    for table, keys in [
+        ("fetches", ["canon_url", "attempt", "wave_id", "order_in_wave", "status"]),
+        ("url_seen", ["canon_url", "wave_id"]),
+        ("metrics", ["wave_id", "n_attempted", "n_ok", "n_failed"]),
+    ]:
+        a = {tuple(r[k] for k in keys) for r in cat.read(table).collect()}
+        b = {tuple(r[k] for k in keys) for r in spark_run.read(table).collect()}
+        assert a == b, table
+    assert cat.read("pending").count() == 0

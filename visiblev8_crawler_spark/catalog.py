@@ -1,0 +1,101 @@
+"""ParquetCatalog — an Iceberg-style table catalog over parquet directories.
+
+The north_rule asks for Iceberg tables with atomic per-wave commits and
+checkpoint resume. This sandbox's Spark has no Iceberg runtime jar
+(SURVEY.md risk R1), so this shim reproduces the semantics the engine needs:
+
+- **snapshot isolation**: readers only see files listed in the committed
+  manifest (``_manifest.json``), never in-flight writes;
+- **atomic multi-table commit**: one wave writes fetches/url_seen/metrics/
+  lineage appends plus a pending rewrite, then swaps the manifest with
+  ``os.replace`` (atomic on POSIX) — a kill at ANY point before the swap
+  leaves the previous snapshot intact, which is what makes the scheduler's
+  kill-resume exact (analog of the reference's per-URL progress pickle,
+  url_sender.py:146-200);
+- **watermark**: ``manifest["watermark"]`` = last committed wave id, the
+  resume point (url_sender.py:222 `last_processed_index` analog).
+
+Orphaned data files from a killed wave are overwritten on re-run (paths are
+deterministic per wave), so no cleanup pass is required for correctness.
+On a real cluster this class is replaced 1:1 by Iceberg multi-table
+transactions; the scheduler only uses read/commit_wave/watermark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class ParquetCatalog:
+    MANIFEST = "_manifest.json"
+
+    def __init__(self, spark: SparkSession, root: str, schemas: dict[str, StructType]):
+        self.spark = spark
+        self.root = root
+        self.schemas = schemas
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, self.MANIFEST)
+
+    def _load_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"watermark": -1, "prepared": False, "tables": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def watermark(self) -> int:
+        return self._load_manifest()["watermark"]
+
+    def prepared(self) -> bool:
+        return self._load_manifest()["prepared"]
+
+    # -- reads -------------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        paths = self._load_manifest()["tables"].get(name, [])
+        if not paths:
+            return self.spark.createDataFrame([], self.schemas[name])
+        return self.spark.read.schema(self.schemas[name]).parquet(*paths)
+
+    # -- commits -----------------------------------------------------------
+    def _write(self, name: str, df: DataFrame, tag: str) -> str:
+        path = os.path.join(self.root, "data", name, tag)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def commit(
+        self,
+        tag: str,
+        appends: dict[str, DataFrame] | None = None,
+        replaces: dict[str, DataFrame] | None = None,
+        watermark: int | None = None,
+        prepared: bool | None = None,
+    ) -> None:
+        """Write all dataframes, then atomically publish them in one manifest
+        swap. ``appends`` add file sets to a table; ``replaces`` supersede all
+        previous file sets (used for the per-wave ``pending`` rewrite)."""
+        m = self._load_manifest()
+        for name, df in (appends or {}).items():
+            p = self._write(name, df, tag)
+            m["tables"].setdefault(name, [])
+            if p not in m["tables"][name]:
+                m["tables"][name].append(p)
+        for name, df in (replaces or {}).items():
+            p = self._write(name, df, tag)
+            m["tables"][name] = [p]
+        if watermark is not None:
+            m["watermark"] = watermark
+        if prepared is not None:
+            m["prepared"] = prepared
+        m["committed_at"] = time.time()
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # the atomic commit point

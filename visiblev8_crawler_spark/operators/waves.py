@@ -1,0 +1,80 @@
+"""Wave selection — the politeness-budgeted priority queue, declaratively.
+
+Replaces the reference's Celery/Redis queue + sleeps (url_sender.py:45,
+259-261 DELAY; :47-49 BATCH_SIZE waves; eval_banks.py:50-56 priority
+preference) with pure window algebra over the ``pending`` DataFrame.
+
+Selection spec (must match simulator.simulate_campaign exactly):
+    order key   = (-priority, seq)
+    host cap    = robots.max_per_wave (default_budget when host unknown)
+    wave        = first ``batch_size`` rows in order whose per-host rank in
+                  order is <= the host's cap
+which is the window form of the simulator's sequential greedy scan (proof in
+simulator.py docstring).
+
+Skew (north_rule "salted, host-hash-partitioned"): a hot host (Zipf head,
+urls_100k.txt analog) would put all its pending rows into one window
+partition. ``salt_width`` S splits each host's rows into S deterministic
+sub-partitions by xxhash64(canon_url): phase 1 ranks within (host, salt) and
+keeps only rank <= cap — at most S*cap rows per host survive, independent of
+how hot the host is — then phase 2 re-ranks exactly within host over that
+bounded set. Result is *identical* to the unsalted window for every S >= 1
+(phase 1 can never drop a row that phase 2 would keep: a row with
+within-host rank <= cap has within-(host,salt) rank <= cap too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUDGET = 25  # simulator.DEFAULT_MAX_PER_WAVE
+
+
+def with_host_budget(pending: DataFrame, robots: DataFrame, default_budget: int) -> DataFrame:
+    """Left-broadcast-join the robots politeness dimension (small: one row per
+    host) onto pending; unknown hosts get the default budget."""
+    budgets = robots.select("host", "max_per_wave")
+    return pending.join(F.broadcast(budgets), "host", "left").withColumn(
+        "host_budget", F.coalesce(F.col("max_per_wave"), F.lit(default_budget))
+    ).drop("max_per_wave")
+
+
+def select_wave(
+    pending: DataFrame,
+    robots: DataFrame,
+    wave_id: int,
+    batch_size: int,
+    default_budget: int = DEFAULT_BUDGET,
+    salt_width: int = 8,
+) -> DataFrame:
+    """Pick this wave's rows from pending. Returns pending columns +
+    (wave_id, order_in_wave). Deterministic and plan-independent."""
+    cand = with_host_budget(pending, robots, default_budget)
+    order = [F.col("priority").desc(), F.col("seq").asc()]
+
+    if salt_width > 1:
+        cand = cand.withColumn(
+            "_salt", F.pmod(F.xxhash64("canon_url", F.lit("wave-salt")), F.lit(salt_width))
+        )
+        w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+        cand = (
+            cand.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= F.col("host_budget"))
+            .drop("_r1", "_salt")
+        )
+    # exact per-host rank over the (now bounded per host) candidate set
+    w2 = Window.partitionBy("host").orderBy(*order)
+    eligible = (
+        cand.withColumn("_hr", F.row_number().over(w2))
+        .filter(F.col("_hr") <= F.col("host_budget"))
+        .drop("_hr", "host_budget")
+    )
+    # global top-batch_size in order: planned as TakeOrderedAndProject
+    # (distributed top-k, no full sort). order_in_wave is then assigned on
+    # <= batch_size rows, so the single-partition window is bounded.
+    top = eligible.orderBy(*order).limit(batch_size)
+    w3 = Window.orderBy(*order)
+    return top.withColumn("order_in_wave", F.row_number().over(w3)).withColumn(
+        "wave_id", F.lit(wave_id)
+    )

@@ -1,0 +1,135 @@
+"""Explicit StructTypes for every engine table (SURVEY.md §1.3: the reference
+is DDL-first — vv8_backend_database/init/*.sql — so the rebuild checks schemas
+at write time instead of inferring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+def conform(df: DataFrame, schema: StructType) -> DataFrame:
+    """Write-time schema check (DDL-first discipline): project + cast to the
+    declared schema; raises if a column is missing."""
+    return df.select([F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+
+
+# input universe (authoritative shape: BASELINE.json input_hint)
+IMAGES = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+# seed list (FIXTURES.md §2; mirrors url_sender.py newline files)
+FRONTIER = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("url", StringType()),
+        StructField("host", StringType()),
+        StructField("priority", IntegerType()),
+        StructField("task_id", StringType()),
+    ]
+)
+
+# per-host gating dimension (north_rule; FIXTURES.md §3)
+ROBOTS = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("full_block", BooleanType()),
+        StructField("disallow_prefixes", ArrayType(StringType())),
+        StructField("crawl_delay_s", DoubleType()),
+        StructField("max_per_wave", IntegerType()),
+    ]
+)
+
+# the not-yet-crawled remainder of the frontier, rewritten per wave
+PENDING = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("url_hash64", LongType()),
+        StructField("host", StringType()),
+        StructField("path", StringType()),
+        StructField("image_id", StringType()),
+        StructField("priority", IntegerType()),
+        StructField("seq", LongType()),
+        StructField("attempt", IntegerType()),
+    ]
+)
+
+# crawl ledger: one row per fetch attempt (submissions+logfile analog,
+# 3_vv8_backend_init.sql:3-20). attempt==1 rows carry the crawl_order tuple.
+FETCHES = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("image_id", StringType()),
+        StructField("host", StringType()),
+        StructField("wave_id", IntegerType()),
+        StructField("order_in_wave", IntegerType()),
+        StructField("attempt", IntegerType()),
+        StructField("priority", IntegerType()),
+        StructField("seq", LongType()),
+        StructField("status", StringType()),
+        StructField("psnr", DoubleType()),
+        StructField("caption_ok", BooleanType()),
+        StructField("phash_ok", BooleanType()),
+        StructField("decode_ms", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+# the URL-seen set (backend tasks.py:148-156 dedup cache analog)
+URL_SEEN = StructType(
+    [
+        StructField("canon_url", StringType()),
+        StructField("url_hash64", LongType()),
+        StructField("wave_id", IntegerType()),
+    ]
+)
+
+# rows dropped before scheduling (validity filter / dup cache / robots)
+REJECTED = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("url", StringType()),
+        StructField("reason", StringType()),
+    ]
+)
+
+# campaign counters (url_sender.py:279-303, status.txt analog)
+METRICS = StructType(
+    [
+        StructField("wave_id", IntegerType()),
+        StructField("n_attempted", LongType()),
+        StructField("n_ok", LongType()),
+        StructField("n_failed", LongType()),
+        StructField("wall_s", DoubleType()),
+        StructField("rows_per_s", DoubleType()),
+    ]
+)
+
+# per-partition lineage for resume audit (north_rule)
+LINEAGE = StructType(
+    [
+        StructField("wave_id", IntegerType()),
+        StructField("partition_id", IntegerType()),
+        StructField("n_rows", LongType()),
+        StructField("n_ok", LongType()),
+    ]
+)

@@ -1,0 +1,151 @@
+"""Pure-Python sequential reference simulator (SURVEY.md §5b).
+
+Replays the reference's scheduling semantics exactly as a single-threaded
+loop, deriving golden ``crawl_order`` / ``url_seen`` / ``fetches`` tables that
+the Spark scheduler (streaming/scheduler.py) must reproduce *independent of
+parallelism* (the north_rule equality gate).
+
+Semantics replayed, with reference citations:
+- seed-file order defines crawl order; ids are 1-based seq — url_sender.py:235-237
+- blank-line drop — url_sender.py:72-74
+- scheme normalization + validity — url_sender.py:93-101; backend tasks.py:29-52
+- exact-URL dedup, first occurrence wins (cached submission returned for
+  repeats) — backend tasks.py:148-156
+- priority preference (CRAWLING-strategy analog) — eval_banks.py:50-56
+- waves of BATCH_SIZE — url_sender.py:47, 228-265
+- per-host politeness budget per wave (declarative analog of DELAY=1 s,
+  url_sender.py:45, 259-261) + robots gating (north_rule addition; reference
+  has none — closest analog adblock, 1_postgres_schema.sql:20-25)
+- retry-once on failure — url_sender.py:242-253; vv8_worker/tasks.py:147-178
+
+Wave selection rule (the authoritative spec for both this simulator and the
+Spark plan): candidates = unseen ∪ retries, ordered by (-priority, seq);
+greedy scan selects a row unless its host already hit max_per_wave in this
+wave; stop at batch_size. Greedy-with-host-skip is exactly equivalent to
+"per-host rank <= budget, then global top-batch_size by order", which is how
+the Spark side computes it with window functions (operators/waves.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .functions.urls import canonicalize, image_id_from_path
+from .verify import verify_image_row
+
+DEFAULT_MAX_PER_WAVE = 25
+RETRYABLE = ("NOT_FOUND", "DECODE_ERROR", "DIM_MISMATCH", "LOW_PSNR",
+             "CAPTION_MISMATCH", "PHASH_MISMATCH")
+
+
+@dataclass
+class SimResult:
+    crawl_order: list  # (canon_url, wave_id, order_in_wave)
+    url_seen: dict  # canon_url -> first wave_id
+    fetches: list  # dicts: canon_url, image_id, wave_id, attempt, status, ...
+    rejected: list  # (seq, url, reason)  reason in {invalid, duplicate, robots}
+    waves: int = 0
+    metrics: list = field(default_factory=list)
+
+
+def _robots_blocked(row: dict, robots: dict) -> bool:
+    rb = robots.get(row["host"])
+    if rb is None:
+        return False
+    if rb.get("full_block"):
+        return True
+    return any(row["path"].startswith(p) for p in rb.get("disallow_prefixes") or ())
+
+
+def simulate_campaign(
+    frontier_rows: list[dict],
+    robots: dict[str, dict],
+    images: dict[str, dict],
+    batch_size: int = 1000,
+    default_budget: int = DEFAULT_MAX_PER_WAVE,
+    max_waves: int = 10_000,
+) -> SimResult:
+    """frontier_rows: dicts with seq/url/priority. robots: host -> robots row.
+    images: image_id -> images row (bytes/w/h/fmt/caption/phash)."""
+    res = SimResult([], {}, [], [])
+
+    # 1. canonicalize + validate + first-occurrence dedup + robots gate
+    pending: list[dict] = []
+    seen_canon: set[str] = set()
+    for row in sorted(frontier_rows, key=lambda r: r["seq"]):
+        c = canonicalize(row["url"])
+        if not c["valid"]:
+            res.rejected.append((row["seq"], row["url"], "invalid"))
+            continue
+        if c["canon_url"] in seen_canon:
+            res.rejected.append((row["seq"], row["url"], "duplicate"))
+            continue
+        seen_canon.add(c["canon_url"])
+        item = {**c, "seq": row["seq"], "priority": row.get("priority", 0), "attempt": 1}
+        if _robots_blocked(item, robots):
+            res.rejected.append((row["seq"], row["url"], "robots"))
+            continue
+        pending.append(item)
+
+    # 2. wave loop
+    retries: list[dict] = []
+    wave_id = 0
+    while (pending or retries) and wave_id < max_waves:
+        candidates = sorted(pending + retries, key=lambda r: (-r["priority"], r["seq"]))
+        host_count: dict[str, int] = {}
+        selected, leftover = [], []
+        for item in candidates:
+            budget = robots.get(item["host"], {}).get("max_per_wave", default_budget)
+            if len(selected) < batch_size and host_count.get(item["host"], 0) < budget:
+                host_count[item["host"]] = host_count.get(item["host"], 0) + 1
+                selected.append(item)
+            else:
+                leftover.append(item)
+        if not selected:
+            break
+
+        n_ok = n_failed = 0
+        next_retries = []
+        for order, item in enumerate(selected, start=1):
+            if item["attempt"] == 1:
+                res.crawl_order.append((item["canon_url"], wave_id, order))
+                res.url_seen[item["canon_url"]] = wave_id
+            image_id = image_id_from_path(item["path"])
+            img = images.get(image_id) if image_id else None
+            v = verify_image_row(
+                image_id or "",
+                img["bytes"] if img else None,
+                img["w"] if img else None,
+                img["h"] if img else None,
+                img["fmt"] if img else None,
+                img["caption"] if img else None,
+                img["phash"] if img else None,
+            )
+            res.fetches.append(
+                {
+                    "canon_url": item["canon_url"],
+                    "image_id": image_id,
+                    "wave_id": wave_id,
+                    "attempt": item["attempt"],
+                    "status": v.status,
+                    "psnr": v.psnr,
+                    "caption_ok": v.caption_ok,
+                    "phash_ok": v.phash_ok,
+                }
+            )
+            if v.status == "OK":
+                n_ok += 1
+            else:
+                n_failed += 1
+                if v.status in RETRYABLE and item["attempt"] == 1:
+                    next_retries.append({**item, "attempt": 2})
+
+        res.metrics.append(
+            {"wave_id": wave_id, "n_attempted": len(selected), "n_ok": n_ok, "n_failed": n_failed}
+        )
+        pending = [x for x in leftover if x["attempt"] == 1]
+        retries = [x for x in leftover if x["attempt"] == 2] + next_retries
+        wave_id += 1
+
+    res.waves = wave_id
+    return res

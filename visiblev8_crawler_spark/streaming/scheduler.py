@@ -1,0 +1,176 @@
+"""The campaign scheduler: micro-batch crawl waves over the pending frontier.
+
+This is the Spark-native replacement for the reference's whole control plane —
+url_sender.py's batch loop (BATCH_SIZE waves, url_sender.py:47-49, 228-287),
+the Celery/Redis queues (vv8_worker/app.py:30-41), per-URL progress pickle
+checkpointing (url_sender.py:146-200), and retry-once (url_sender.py:242-253)
+— collapsed into one deterministic DataFrame loop with atomic per-wave
+commits (catalog.ParquetCatalog; Iceberg semantics).
+
+Per wave:
+    pending ->(select_wave: politeness windows + top-k)-> wave rows
+            ->(fetch_verify: semi-join-pruned images join + Arrow UDF)-> fetches
+    commit atomically: append fetches/url_seen/metrics/lineage,
+                       rewrite pending = pending - selected + retries,
+                       watermark = wave_id.
+
+Exactly-once resume: every wave is a pure function of the previous committed
+snapshot, and the manifest swap is atomic — kill the driver anywhere and a
+restart re-runs at most the in-flight wave, producing byte-identical tables
+(C8, url_sender.py:146-200 semantics, minus the pickle).
+
+The loop is micro-batch by construction ("Trigger.AvailableNow per wave");
+there is no unbounded external stream in the reference either — its waves are
+time-gated reads of a static seed list.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..catalog import ParquetCatalog
+from ..operators.dedup import prepare_frontier
+from ..operators.fetch import fetch_verify
+from ..operators.waves import select_wave
+from ..simulator import RETRYABLE
+
+TABLE_SCHEMAS = {
+    "pending": schemas.PENDING,
+    "fetches": schemas.FETCHES,
+    "url_seen": schemas.URL_SEEN,
+    "rejected": schemas.REJECTED,
+    "metrics": schemas.METRICS,
+    "lineage": schemas.LINEAGE,
+}
+
+
+@dataclass
+class CrawlConfig:
+    batch_size: int = 1000
+    default_budget: int = 25
+    salt_width: int = 8
+    max_waves: int = 10_000
+
+
+def open_catalog(spark: SparkSession, root: str) -> ParquetCatalog:
+    return ParquetCatalog(spark, root, TABLE_SCHEMAS)
+
+
+def run_campaign(
+    spark: SparkSession,
+    catalog_root: str,
+    frontier: DataFrame,
+    robots: DataFrame,
+    images: DataFrame,
+    cfg: CrawlConfig = CrawlConfig(),
+    stop_after_waves: int | None = None,
+) -> ParquetCatalog:
+    """Run (or resume) a campaign to completion. ``stop_after_waves`` kills
+    the loop early — used by the kill/resume test. Calling again with the
+    same catalog_root resumes from the committed watermark."""
+    cat = open_catalog(spark, catalog_root)
+
+    if not cat.prepared():
+        pending, rejected = prepare_frontier(frontier, robots)
+        cat.commit(
+            "prep", appends={"rejected": rejected}, replaces={"pending": pending}, prepared=True
+        )
+
+    wave_id = cat.watermark() + 1
+    waves_done = 0
+    while wave_id < cfg.max_waves:
+        if stop_after_waves is not None and waves_done >= stop_after_waves:
+            break
+        t0 = time.perf_counter()
+        pending = cat.read("pending")
+        selected = select_wave(
+            pending, robots, wave_id, cfg.batch_size, cfg.default_budget, cfg.salt_width
+        ).persist()
+        if selected.isEmpty():
+            selected.unpersist()
+            break
+
+        results = fetch_verify(selected, images).persist()
+        agg = results.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("status") == "OK", 1).otherwise(0)).alias("ok"),
+        ).collect()[0]
+        n_attempted, n_ok = int(agg["n"]), int(agg["ok"] or 0)
+
+        url_seen = schemas.conform(
+            selected.filter(F.col("attempt") == 1).select(
+                "canon_url", "url_hash64", F.lit(wave_id).alias("wave_id")
+            ),
+            schemas.URL_SEEN,
+        )
+        bad = results.filter(
+            (F.col("attempt") == 1) & F.col("status").isin(*RETRYABLE)
+        ).select("canon_url")
+        retries = schemas.conform(
+            selected.join(F.broadcast(bad), "canon_url", "left_semi").withColumn(
+                "attempt", F.lit(2)
+            ),
+            schemas.PENDING,
+        )
+        new_pending = pending.join(
+            F.broadcast(selected.select("canon_url")), "canon_url", "left_anti"
+        ).unionByName(retries)
+
+        wall = time.perf_counter() - t0
+        metrics = schemas.conform(
+            spark.createDataFrame(
+                [
+                    (
+                        wave_id,
+                        n_attempted,
+                        n_ok,
+                        n_attempted - n_ok,
+                        wall,
+                        n_attempted / wall if wall > 0 else 0.0,
+                    )
+                ],
+                schemas.METRICS,
+            ),
+            schemas.METRICS,
+        )
+        lineage = schemas.conform(
+            results.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("wave_id", "partition_id")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("status") == "OK", 1).otherwise(0)).alias("n_ok"),
+            ),
+            schemas.LINEAGE,
+        )
+
+        cat.commit(
+            f"wave={wave_id}",
+            appends={
+                "fetches": results,
+                "url_seen": url_seen,
+                "metrics": metrics,
+                "lineage": lineage,
+            },
+            replaces={"pending": new_pending},
+            watermark=wave_id,
+        )
+        selected.unpersist()
+        results.unpersist()
+        wave_id += 1
+        waves_done += 1
+    return cat
+
+
+def crawl_order_df(cat: ParquetCatalog) -> DataFrame:
+    """(canon_url, wave_id, order_in_wave) for first attempts — the golden
+    crawl-order tuple compared against the simulator."""
+    return (
+        cat.read("fetches")
+        .filter(F.col("attempt") == 1)
+        .select("canon_url", "wave_id", "order_in_wave")
+    )
