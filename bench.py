@@ -1,0 +1,140 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline query suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus a crawl-campaign
+throughput microbench on the synthetic world, and prints ONE JSON line:
+
+    {"metric": "headline_suite_sec", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "crawl_rows_per_s": ...}
+
+For the north-rule two-cluster-size scaling evidence (local[8] vs local[32])
+run ``python bench_scaling.py`` — that needs two separate JVMs, so it can't
+live inside this single-session bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "star_join_revenue",
+    "top_k_orders",
+    "pct_of_total_by_priority",
+    "dedup_priority_pick",
+    "window_running_total",
+    "tumbling_window_events",
+    "json_props_agg",
+    "dedup_exact_docs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "embedding_cosine_topk",
+    "embedding_lsh_topk",
+]
+
+# sized so politeness capacity (hosts x avg per-host budget ~27) lets each
+# wave actually reach batch_size; wave fixed-cost then amortizes the way it
+# would at cluster scale (10^7-row waves)
+CRAWL_IMAGES, CRAWL_URLS, CRAWL_HOSTS = 2000, 100_000, 2000
+CRAWL_BATCH, CRAWL_WAVES = 20_000, 5
+
+
+def _crawl_bench(spark, cpus: int) -> dict:
+    import shutil
+    import tempfile
+
+    from visiblev8_crawler_spark.sources import synth
+    from visiblev8_crawler_spark.streaming import scheduler
+
+    from pyspark.sql import functions as F
+
+    world = f"/tmp/vv8_bench_world_{CRAWL_IMAGES}_{CRAWL_URLS}_{CRAWL_HOSTS}"
+    if not os.path.exists(os.path.join(world, "images.parquet")):
+        os.makedirs(world, exist_ok=True)
+        synth.generate_images_spark(spark, CRAWL_IMAGES, cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(world, "images.parquet"))
+        synth.generate_frontier_spark(
+            spark, CRAWL_URLS, CRAWL_IMAGES, CRAWL_HOSTS, cpus * 2
+        ).write.mode("overwrite").parquet(os.path.join(world, "frontier.parquet"))
+        spark.createDataFrame(synth.generate_robots_pdf(CRAWL_HOSTS)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(world, "robots.parquet"))
+
+    cat_dir = tempfile.mkdtemp(prefix="vv8_bench_cat_")
+    try:
+        t0 = time.perf_counter()
+        cat = scheduler.run_campaign(
+            spark,
+            cat_dir,
+            spark.read.parquet(os.path.join(world, "frontier.parquet")),
+            spark.read.parquet(os.path.join(world, "robots.parquet")),
+            spark.read.parquet(os.path.join(world, "images.parquet")),
+            scheduler.CrawlConfig(batch_size=CRAWL_BATCH, default_budget=100),
+            stop_after_waves=CRAWL_WAVES,
+        )
+        wall = time.perf_counter() - t0
+        attempted = cat.read("metrics").agg(F.sum("n_attempted")).collect()[0][0] or 0
+        return {
+            "crawl_attempted": int(attempted),
+            "crawl_wall_s": round(wall, 3),
+            "crawl_rows_per_s": round(attempted / wall, 1) if wall > 0 else 0.0,
+        }
+    finally:
+        shutil.rmtree(cat_dir, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("vv8-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    spark.range(1000).count()  # JVM warmup
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    crawl = _crawl_bench(spark, cpus)
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **crawl,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

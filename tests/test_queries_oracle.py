@@ -1,0 +1,64 @@
+"""Local replica of the driver's correctness gate: run every registered
+query on Spark AND its SQL oracle on DuckDB over the same sf0.001 parquet,
+compare row count, column names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    return v
+
+
+def _rows_to_set(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+ORACLED = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, ddb, name):
+    qs = entry_mod.queries()
+    sdf = qs[name](spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.sql(entry_mod.oracle_sql()[name])
+    duck_cols = [c.lower() for c in res.columns]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
+    assert len(spark_rows) == len(duck_rows), f"{name}: {len(spark_rows)} vs {len(duck_rows)}"
+    assert len(spark_rows) > 0, f"{name}: empty result proves nothing"
+    a = _rows_to_set(spark_cols, spark_rows)
+    b = _rows_to_set(duck_cols, duck_rows)
+    assert a == b, f"{name}: value mismatch\nspark sample: {a[:3]}\nduck sample:  {b[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) >= 2

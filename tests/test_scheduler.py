@@ -44,7 +44,7 @@ def test_crawl_order_equality(sim, spark_run):
 
 
 def test_url_seen_equality(sim, spark_run):
-    got = {r["canon_url"]: r["wave_id"] for r in spark_run.read("url_seen").collect()}
+    got = {r["canon_url"]: r["wave_id"] for r in scheduler.url_seen_df(spark_run).collect()}
     assert got == sim.url_seen
 
 
@@ -81,12 +81,17 @@ def test_campaign_exercises_failure_paths(sim):
 
 def test_salt_width_invariance(spark, world):
     """Salting is a pure physical-plan choice: selection identical at S=1/8/32."""
+    from pyspark.sql import functions as F
+
+    from visiblev8_crawler_spark import schemas
     from visiblev8_crawler_spark.operators.dedup import prepare_frontier
     from visiblev8_crawler_spark.operators.waves import select_wave
 
     frontier = spark.read.parquet(world["paths"]["frontier"])
     robots = spark.read.parquet(world["paths"]["robots"])
-    pending, _ = prepare_frontier(frontier, robots)
+    pending = schemas.conform(
+        prepare_frontier(frontier, robots).filter(F.col("reason").isNull()), schemas.PENDING
+    )
     base = None
     for s in (1, 8, 32):
         got = sorted(
@@ -114,7 +119,6 @@ def test_kill_resume_identical(spark, world, spark_run, tmp_path_factory):
 
     for table, keys in [
         ("fetches", ["canon_url", "attempt", "wave_id", "order_in_wave", "status"]),
-        ("url_seen", ["canon_url", "wave_id"]),
         ("metrics", ["wave_id", "n_attempted", "n_ok", "n_failed"]),
     ]:
         a = {tuple(r[k] for k in keys) for r in cat.read(table).collect()}

@@ -25,21 +25,22 @@ from .. import schemas
 from ..functions import urls as U
 
 
-def prepare_frontier(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Returns (pending, rejected) with schemas.PENDING / schemas.REJECTED."""
+def prepare_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """One pass raw frontier -> FRONTIER_PREPARED: every row dispositioned
+    (reason null = schedulable, else invalid/duplicate/robots).
+
+    Returned as a *single* unified table so the expensive chain (canonical
+    window dedup) is computed once and committed once; pending and rejected
+    are then derived by scanning the committed parquet (scheduler.py), never
+    by recomputing this plan. At 10^10 rows that is the difference between
+    one shuffle and two."""
     canon = U.with_canonical(frontier.select("seq", "url", "priority"))
 
-    invalid = canon.filter(~F.col("valid")).select(
-        "seq", "url", F.lit("invalid").alias("reason")
-    )
-    valid = canon.filter(F.col("valid"))
-
-    w = Window.partitionBy("canon_url").orderBy(F.col("seq").asc())
-    ranked = valid.withColumn("_rn", F.row_number().over(w))
-    dup = ranked.filter(F.col("_rn") > 1).select("seq", "url", F.lit("duplicate").alias("reason"))
-    first = ranked.filter(F.col("_rn") == 1).drop("_rn")
-
-    gated = first.join(
+    # rank within (canon_url, valid) so an invalid row can never steal the
+    # first-occurrence slot from the valid rows of the same canonical url
+    w = Window.partitionBy("canon_url", "valid").orderBy(F.col("seq").asc())
+    ranked = canon.withColumn("_rn", F.row_number().over(w))
+    gated = ranked.join(
         F.broadcast(robots.select("host", "full_block", "disallow_prefixes")), "host", "left"
     ).withColumn(
         "_blocked",
@@ -49,16 +50,14 @@ def prepare_frontier(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame,
             lambda p: F.col("path").startswith(p),
         ),
     )
-    robots_rej = gated.filter(F.col("_blocked")).select(
-        "seq", "url", F.lit("robots").alias("reason")
-    )
-    pending = schemas.conform(
-        gated.filter(~F.col("_blocked"))
+    return schemas.conform(
+        gated.withColumn(
+            "reason",
+            F.when(~F.col("valid"), "invalid")
+            .when(F.col("valid") & (F.col("_rn") > 1), "duplicate")
+            .when(F.col("_blocked"), "robots"),
+        )
         .withColumn("image_id", U.image_id_col(F.col("path")))
         .withColumn("attempt", F.lit(1)),
-        schemas.PENDING,
+        schemas.FRONTIER_PREPARED,
     )
-    rejected = schemas.conform(
-        invalid.unionByName(dup).unionByName(robots_rej), schemas.REJECTED
-    )
-    return pending, rejected

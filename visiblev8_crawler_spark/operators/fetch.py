@@ -64,6 +64,7 @@ def _verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "attempt": b["attempt"],
                 "priority": b["priority"],
                 "seq": b["seq"],
+                "partition_id": b["partition_id"],
                 **out,
             }
         )
@@ -109,5 +110,6 @@ def fetch_verify(wave: DataFrame, images: DataFrame) -> DataFrame:
         "i.fmt",
         "i.caption",
         F.coalesce(F.col("i.phash"), F.lit(0).cast("long")).alias("phash"),
+        F.spark_partition_id().alias("partition_id"),
     )
     return joined.mapInPandas(_verify_batches, schemas.FETCHES)

@@ -1,0 +1,405 @@
+"""Relational query surface: the reference's analytics layer re-expressed as
+DataFrame plans over the driver's TPC-H-ish testdata, each paired with an
+ANSI-SQL oracle that DuckDB runs on the same parquet.
+
+Coverage map (SURVEY.md §2 row -> query key):
+  T1/T2 top-k                    -> top_k_orders
+  A3 pct-of-total group-by       -> pct_of_total_by_priority
+  A4 regex-key group-by + HAVING -> group_having_regex_key
+  A6/X7 JSON-map aggregation     -> json_props_agg
+  A7 capped count estimate       -> capped_count
+  J1/J4 star joins               -> star_join_revenue
+  J3/D7 anti join                -> anti_join_no_orders
+  (semi)                         -> semi_join_active_parts
+  J7 self join                   -> self_join_same_region
+  D2 dedup-with-priority-pick    -> dedup_priority_pick
+  D3/D4 exact dedup              -> dedup_exact_docs
+  F8 BETWEEN / F9 IN / F11 null  -> between_in_filters
+  X1/X5 regex + CASE buckets     -> case_bucket_classify
+  §2.7 set ops                   -> union_distinct_hosts
+  T6-adjacent window analytics   -> window_running_total
+  C1-adjacent time bucketing     -> tumbling_window_events
+
+Training-pipeline operators (first-class per the build brief):
+  exact dedup (hash groupBy)     -> dedup_exact_docs
+  doc fingerprinting             -> doc_fingerprint
+  token counting                 -> doc_token_count
+  quality scoring                -> doc_quality_score
+  language id (n-gram heuristic) -> doc_lang_id
+  minhash signatures             -> minhash_signatures
+  minhash-LSH candidate pairs    -> minhash_lsh_pairs
+  n-gram jaccard near-dup        -> ngram_jaccard_pairs
+  simhash                        -> simhash_docs
+  ANN brute-force cosine top-k   -> embedding_cosine_topk
+  embedding near-dup pairs       -> embedding_neardup_pairs
+
+Float discipline: every double output is rounded in BOTH engines so the
+driver's value-hash comparison is stable; counts/keys stay exact integers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> rows-only check (non-SQL-expressible)
+    note: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None, note: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle, note)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Reference-derived relational operators
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "top_k_orders",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+    "T1: ORDER BY prob DESC LIMIT k (production_classification_queries:16-17)",
+)
+def top_k_orders(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@q(
+    "pct_of_total_by_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM orders), 4) AS pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "A3: GROUP BY + pct-of-total scalar subquery (classification sql:19-28)",
+)
+def pct_of_total_by_priority(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .withColumn(
+            "pct", F.round(F.col("n") * 100.0 / F.sum("n").over(Window.partitionBy()), 4)
+        )
+    )
+
+
+@q(
+    "group_having_regex_key",
+    """
+    SELECT regexp_replace(source, '[0-9]+$', '') AS src_family,
+           COUNT(*) AS n,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           MAX(n_chars) AS max_chars,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+    FROM documents
+    GROUP BY regexp_replace(source, '[0-9]+$', '')
+    HAVING COUNT(*) >= 2
+    """,
+    "A4+X1+X5: regex-derived group key + HAVING + SUM(CASE) (classification sql:30-42)",
+)
+def group_having_regex_key(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.regexp_replace("source", "[0-9]+$", "").alias("src_family"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+
+
+@q(
+    "star_join_revenue",
+    """
+    SELECT r_name, n_name,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    "J1/J4: fact-to-dimension star joins (README.md:161-166; 2_mega FK star)",
+)
+def star_join_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@q(
+    "anti_join_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 450000)
+    """,
+    "J3/D7: NOT EXISTS anti-join (resend_script_ids.py:62-72); right side filtered so the set is non-trivial at every sf",
+)
+def anti_join_no_orders(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "semi_join_active_parts",
+    """
+    SELECT p_partkey, p_brand FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+                  AND l.l_quantity > 40)
+    """,
+    "semi-join complement of D7 (cache-hit path, backend tasks.py:151-156)",
+)
+def semi_join_active_parts(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+@q(
+    "self_join_same_region",
+    """
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    "J7: hash-keyed self-join (eval_parent_hash, 2_mega:55)",
+)
+def self_join_same_region(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("regionkey"),
+    )
+
+
+@q(
+    "dedup_priority_pick",
+    """
+    SELECT o_custkey, o_orderkey AS picked_order, ROUND(o_totalprice, 2) AS totalprice
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+    WHERE rn = 1
+    """,
+    "D2: group-by-URL keep preferred candidate (eval_banks.py:36-70)",
+)
+def dedup_priority_pick(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("picked_order"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+@q(
+    "between_in_filters",
+    """
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 5000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus IS NOT NULL
+    """,
+    "F8 BETWEEN + F9 IN-list + F11 null filter (classification sql:52-54; investigation sql:18)",
+)
+def between_in_filters(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_totalprice").between(1000, 5000)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_orderstatus").isNotNull()
+        )
+        .select(
+            "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("totalprice")
+        )
+    )
+
+
+@q(
+    "case_bucket_classify",
+    """
+    SELECT CASE WHEN o_totalprice >= 4000 THEN 'high'
+                WHEN o_totalprice >= 1500 THEN 'medium'
+                ELSE 'low' END AS confidence_level,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    "X6: 3-way bucket classify (production_classifier.py:264-268) + A9 summary",
+)
+def case_bucket_classify(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn(
+            "confidence_level",
+            F.when(F.col("o_totalprice") >= 4000, "high")
+            .when(F.col("o_totalprice") >= 1500, "medium")
+            .otherwise("low"),
+        )
+        .groupBy("confidence_level")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+@q(
+    "capped_count",
+    "SELECT COUNT(*) AS n FROM (SELECT * FROM lineitem LIMIT 1000) sub",
+    "A7: existence-capped count (resend_script_ids.py:168-184)",
+)
+def capped_count(spark, sf_dir):
+    n = load(spark, sf_dir, "lineitem").limit(1000).count()
+    return spark.createDataFrame([(n,)], "n long")
+
+
+@q(
+    "json_props_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    "A6/X7: JSON-field parse + aggregate (production_classifier.py:104-123,154-211)",
+)
+def json_props_agg(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
+
+
+@q(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS running_total
+    FROM orders
+    """,
+    "running per-entity counters (url_sender.py:242-257 campaign totals analog)",
+)
+def window_running_total(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@q(
+    "tumbling_window_events",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "C1: wave/time bucketing (url_sender.py:47-49) as tumbling windows",
+)
+def tumbling_window_events(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").cast("long").alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@q(
+    "union_distinct_hosts",
+    """
+    SELECT source AS src, 'docs' AS via FROM documents WHERE n_chars > 400
+    UNION
+    SELECT source AS src, 'docs' AS via FROM documents WHERE lang = 'zh'
+    """,
+    "§2.7: retried ∪ fresh per wave (url_sender.py:242-253) as UNION DISTINCT",
+)
+def union_distinct_hosts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter(F.col("n_chars") > 400).select(
+        F.col("source").alias("src"), F.lit("docs").alias("via")
+    )
+    b = docs.filter(F.col("lang") == "zh").select(
+        F.col("source").alias("src"), F.lit("docs").alias("via")
+    )
+    return a.union(b).distinct()

@@ -1,0 +1,352 @@
+"""Training-data text pipeline over the ``documents`` table — dedup,
+fingerprinting, token stats, quality scoring, language-id, minhash/LSH,
+n-gram jaccard, simhash. Each op is a Spark plan + an exactly-mirrored
+DuckDB oracle (same tokenization, same md5-based hashing, same thresholds).
+
+These are the 100 TB-pipeline operators the rebuild adds beyond the
+reference (whose only text processing is script-body dedup by hash,
+2_mega_vv8_postgres_schema.sql:34, and regex feature extraction,
+production_classifier.py:140-229).
+
+Hash discipline: every hash is md5 (identical builtin in Spark and DuckDB);
+Spark's xxhash64 has no DuckDB twin, so it stays engine-internal only
+(bloom filter, salting) and never appears in oracle-checked output.
+
+Scale notes are per-op docstrings; the common pattern is: tokenize once,
+explode to a (doc, shingle) relation, aggregate back — all JVM-side builtin
+higher-order functions, no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import QUERIES, load, q
+
+# shared tokenization contract (mirrored literally in each oracle)
+def _with_tokens(df):
+    return df.withColumn("toks", F.split(F.col("text"), " ")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup + fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+    FROM documents GROUP BY md5(text)
+    """,
+    "D3/D4: exact-content dedup by hash groupBy (2_mega:34 'extreme prejudice')",
+)
+def dedup_exact_docs(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
+    )
+
+
+@q(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+    "document fingerprinting (normalized content hash; X3 sha-of-body analog)",
+)
+def doc_fingerprint(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token stats / quality / language-id
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_token_count",
+    """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars
+    FROM documents
+    """,
+    "token counting (whitespace contract shared with every shingle op)",
+)
+def doc_token_count(spark, sf_dir):
+    return _with_tokens(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_chars"
+    )
+
+
+@q(
+    "doc_quality_score",
+    """
+    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND((n_chars - (len(toks) - 1)) * 1.0 / len(toks), 4) AS avg_token_len,
+           ROUND(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks), 4)
+               AS stopword_ratio,
+           ROUND(LEAST(len(toks) / 100.0, 1.0) * 0.5
+                 + len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) * 0.5,
+                 4) AS quality
+    FROM t
+    """,
+    "quality scoring: length + stopword-ratio features (classifier features analog, production_classifier.py:154-211)",
+)
+def doc_quality_score(spark, sf_dir):
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    stop = F.size(F.filter("toks", lambda x: x.isin("the", "a")))
+    ratio = stop * 1.0 / F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round((F.col("n_chars") - (F.col("n_tokens") - 1)) * 1.0 / F.col("n_tokens"), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.round(F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5 + ratio * 0.5, 4).alias(
+            "quality"
+        ),
+    )
+
+
+@q(
+    "doc_lang_id",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 len(list_filter(toks, x -> x = 'the'))   AS s_en,
+                 len(list_filter(toks, x -> x = 'data'))  AS s_data,
+                 len(list_filter(toks, x -> x = 'query')) AS s_query
+          FROM t)
+    SELECT doc_id,
+           CASE WHEN s_en >= s_data AND s_en >= s_query THEN 'en-like'
+                WHEN s_data >= s_query THEN 'data-like'
+                ELSE 'query-like' END AS predicted,
+           s_en, s_data, s_query
+    FROM s
+    """,
+    "language-id by marker-token histogram (n-gram heuristic; deterministic, mirrored)",
+)
+def doc_lang_id(spark, sf_dir):
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+
+    def cnt(word):
+        return F.size(F.filter("toks", lambda x: x == word))
+
+    s = d.select(
+        "doc_id",
+        cnt("the").alias("s_en"),
+        cnt("data").alias("s_data"),
+        cnt("query").alias("s_query"),
+    )
+    return s.select(
+        "doc_id",
+        F.when(
+            (F.col("s_en") >= F.col("s_data")) & (F.col("s_en") >= F.col("s_query")), "en-like"
+        )
+        .when(F.col("s_data") >= F.col("s_query"), "data-like")
+        .otherwise("query-like")
+        .alias("predicted"),
+        "s_en",
+        "s_data",
+        "s_query",
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles -> minhash -> LSH -> jaccard
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(CASE WHEN len(toks) >= 3
+                         THEN list_transform(generate_series(1, len(toks) - 2),
+                                             i -> array_to_string(toks[i:i+2], ' '))
+                         ELSE [array_to_string(toks, ' ')] END) AS sh
+           FROM t),
+    shd AS (SELECT DISTINCT doc_id, sh FROM sh)
+"""
+
+
+def _shingles(spark, sf_dir):
+    """(doc_id, sh) distinct 3-word shingles; docs <3 tokens -> whole text."""
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
+        ).alias("sh"),
+    )
+    return sh.distinct()
+
+
+_SALTS = ("s1", "s2", "s3", "s4")
+
+
+@q(
+    "minhash_signatures",
+    _SHINGLE_SQL
+    + """
+    SELECT doc_id,
+           MIN(md5('s1:' || sh)) AS mh1, MIN(md5('s2:' || sh)) AS mh2,
+           MIN(md5('s3:' || sh)) AS mh3, MIN(md5('s4:' || sh)) AS mh4
+    FROM shd GROUP BY doc_id
+    """,
+    "MinHash: 4 salted min-hash signatures over 3-gram shingles (one shuffle: the groupBy doc_id; shingling itself is a codegen'd HOF explode)",
+)
+def minhash_signatures(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{i+1}")
+        for i, s in enumerate(_SALTS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@q(
+    "minhash_lsh_pairs",
+    _SHINGLE_SQL
+    + """
+    , sig AS (SELECT doc_id,
+           MIN(md5('s1:' || sh)) AS mh1, MIN(md5('s2:' || sh)) AS mh2,
+           MIN(md5('s3:' || sh)) AS mh3, MIN(md5('s4:' || sh)) AS mh4
+       FROM shd GROUP BY doc_id),
+    bands AS (
+       SELECT doc_id, 1 AS band, mh1 AS sig FROM sig UNION ALL
+       SELECT doc_id, 2, mh2 FROM sig UNION ALL
+       SELECT doc_id, 3, mh3 FROM sig UNION ALL
+       SELECT doc_id, 4, mh4 FROM sig)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                             AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    "MinHash-LSH: band -> bucket self-join -> candidate pairs (shingle->minhash->band->bucket-join); bucket join keys are (band, sig) so hot buckets, not hot docs, bound the skew",
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    sig = QUERIES["minhash_signatures"].spark(spark, sf_dir)
+    bands = None
+    for i in range(4):
+        piece = sig.select(
+            "doc_id", F.lit(i + 1).alias("band"), F.col(f"mh{i+1}").alias("sig")
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+@q(
+    "ngram_jaccard_pairs",
+    _SHINGLE_SQL
+    + """
+    , rare AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) <= 50),
+    shr AS (SELECT shd.doc_id, shd.sh FROM shd JOIN rare USING (sh)),
+    card AS (SELECT doc_id, COUNT(*) AS n_sh FROM shr GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING COUNT(*) >= 2)
+    SELECT doc_a, doc_b, n_inter,
+           ROUND(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+    FROM inter JOIN card ca ON ca.doc_id = doc_a
+               JOIN card cb ON cb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.02
+    """,
+    "n-gram Jaccard near-dup: inverted-index self-join with a hot-shingle cap (df<=50) so a stopword-shingle can't quadratically blow up the join — the skew guard that matters at 100 TB",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    shd = _shingles(spark, sf_dir)
+    rare = shd.groupBy("sh").count().filter(F.col("count") <= 50).select("sh")
+    shr = shd.join(rare, "sh")
+    card = shr.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = shr.alias("a"), shr.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+        .filter(F.col("n_inter") >= 2)
+    )
+    j = (
+        inter.join(card.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(card.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= 0.02)
+    )
+    return j.select("doc_a", "doc_b", "n_inter", F.round("jaccard", 4).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# simhash (16-bit, md5-nibble based so both engines agree bit-for-bit)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN substr(md5(tok), {k+1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(_SIMHASH_BITS)
+    )
+    val = " + ".join(f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(_SIMHASH_BITS))
+    return f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    td AS (SELECT DISTINCT doc_id, tok FROM t),
+    s AS (SELECT doc_id,
+           {sums}
+          FROM td GROUP BY doc_id)
+    SELECT doc_id, {val} AS simhash16 FROM s
+    """
+
+
+@q(
+    "simhash_docs",
+    _simhash_sql(),
+    "SimHash: per-bit majority vote over distinct-token md5 nibbles; 16-bit here for oracle-mirroring, width is a constant",
+)
+def simhash_docs(spark, sf_dir):
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        # materialize md5 once per (doc, token); the 16 per-bit aggregates
+        # only substring it (Catalyst does not CSE across agg expressions)
+        .withColumn("h", F.md5("tok"))
+    )
+    sums = [
+        F.sum(
+            F.when(F.substring(F.col("h"), k + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"b{k}")
+        for k in range(_SIMHASH_BITS)
+    ]
+    s = d.groupBy("doc_id").agg(*sums)
+    val = None
+    for k in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{k}") > 0, 1 << k).otherwise(0)
+        val = term if val is None else val + term
+    return s.select("doc_id", val.alias("simhash16"))

@@ -59,6 +59,22 @@ ROBOTS = StructType(
     ]
 )
 
+# one-pass dispositioned frontier (prep stage); reason null = schedulable
+FRONTIER_PREPARED = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("url", StringType()),
+        StructField("canon_url", StringType()),
+        StructField("url_hash64", LongType()),
+        StructField("host", StringType()),
+        StructField("path", StringType()),
+        StructField("image_id", StringType()),
+        StructField("priority", IntegerType()),
+        StructField("attempt", IntegerType()),
+        StructField("reason", StringType()),
+    ]
+)
+
 # the not-yet-crawled remainder of the frontier, rewritten per wave
 PENDING = StructType(
     [
@@ -91,6 +107,9 @@ FETCHES = StructType(
         StructField("phash_ok", BooleanType()),
         StructField("decode_ms", DoubleType()),
         StructField("error", StringType()),
+        # executor partition that fetched the row — makes per-partition
+        # lineage a free aggregation over fetches instead of a second sink
+        StructField("partition_id", IntegerType()),
     ]
 )
 

@@ -40,13 +40,38 @@ from ..operators.waves import select_wave
 from ..simulator import RETRYABLE
 
 TABLE_SCHEMAS = {
+    "frontier_prepared": schemas.FRONTIER_PREPARED,
     "pending": schemas.PENDING,
     "fetches": schemas.FETCHES,
-    "url_seen": schemas.URL_SEEN,
     "rejected": schemas.REJECTED,
     "metrics": schemas.METRICS,
-    "lineage": schemas.LINEAGE,
 }
+
+
+def url_seen_df(cat: ParquetCatalog) -> DataFrame:
+    """The URL-seen set (backend tasks.py:148-156 analog) — a projection of
+    the committed fetch ledger, not a second sink: one less write per wave,
+    and it can never disagree with fetches."""
+    return (
+        cat.read("fetches")
+        .filter(F.col("attempt") == 1)
+        .select(
+            "canon_url", F.xxhash64("canon_url").alias("url_hash64"), "wave_id"
+        )
+    )
+
+
+def lineage_df(cat: ParquetCatalog) -> DataFrame:
+    """Per-(wave, executor-partition) lineage for resume audit — derived from
+    the partition_id column stamped by the fetch stage."""
+    return (
+        cat.read("fetches")
+        .groupBy("wave_id", "partition_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("status") == "OK", 1).otherwise(0)).alias("n_ok"),
+        )
+    )
 
 
 @dataclass
@@ -76,9 +101,23 @@ def run_campaign(
     cat = open_catalog(spark, catalog_root)
 
     if not cat.prepared():
-        pending, rejected = prepare_frontier(frontier, robots)
+        # stage 1: the expensive pass (canonicalize + dedup window + robots
+        # gate) computed ONCE and committed; stage 2 derives pending/rejected
+        # by scanning the committed files — no recompute. Both stages write
+        # to deterministic paths, so a kill between them re-runs cleanly.
+        cat.commit("prep", appends={"frontier_prepared": prepare_frontier(frontier, robots)})
+        fp = cat.read("frontier_prepared")
         cat.commit(
-            "prep", appends={"rejected": rejected}, replaces={"pending": pending}, prepared=True
+            "prep",
+            appends={
+                "rejected": schemas.conform(
+                    fp.filter(F.col("reason").isNotNull()), schemas.REJECTED
+                )
+            },
+            replaces={
+                "pending": schemas.conform(fp.filter(F.col("reason").isNull()), schemas.PENDING)
+            },
+            prepared=True,
         )
 
     wave_id = cat.watermark() + 1
@@ -88,26 +127,29 @@ def run_campaign(
             break
         t0 = time.perf_counter()
         pending = cat.read("pending")
-        selected = select_wave(
-            pending, robots, wave_id, cfg.batch_size, cfg.default_budget, cfg.salt_width
-        ).persist()
-        if selected.isEmpty():
-            selected.unpersist()
-            break
-
+        # select_wave necessarily funnels through one partition to assign
+        # order_in_wave (bounded <= batch_size rows); re-spread the wave so
+        # the fetch UDF uses every core instead of one.
+        selected = (
+            select_wave(
+                pending, robots, wave_id, cfg.batch_size, cfg.default_budget, cfg.salt_width
+            )
+            .repartition(spark.sparkContext.defaultParallelism, "canon_url")
+            .persist()
+        )
+        # no separate emptiness check: the one aggregate below both counts
+        # the wave and detects termination (one Spark job instead of two)
         results = fetch_verify(selected, images).persist()
         agg = results.agg(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("status") == "OK", 1).otherwise(0)).alias("ok"),
         ).collect()[0]
         n_attempted, n_ok = int(agg["n"]), int(agg["ok"] or 0)
+        if n_attempted == 0:
+            selected.unpersist()
+            results.unpersist()
+            break
 
-        url_seen = schemas.conform(
-            selected.filter(F.col("attempt") == 1).select(
-                "canon_url", "url_hash64", F.lit(wave_id).alias("wave_id")
-            ),
-            schemas.URL_SEEN,
-        )
         bad = results.filter(
             (F.col("attempt") == 1) & F.col("status").isin(*RETRYABLE)
         ).select("canon_url")
@@ -122,40 +164,23 @@ def run_campaign(
         ).unionByName(retries)
 
         wall = time.perf_counter() - t0
-        metrics = schemas.conform(
-            spark.createDataFrame(
-                [
-                    (
-                        wave_id,
-                        n_attempted,
-                        n_ok,
-                        n_attempted - n_ok,
-                        wall,
-                        n_attempted / wall if wall > 0 else 0.0,
-                    )
-                ],
-                schemas.METRICS,
-            ),
+        metrics = spark.createDataFrame(
+            [
+                (
+                    wave_id,
+                    n_attempted,
+                    n_ok,
+                    n_attempted - n_ok,
+                    wall,
+                    n_attempted / wall if wall > 0 else 0.0,
+                )
+            ],
             schemas.METRICS,
-        )
-        lineage = schemas.conform(
-            results.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("wave_id", "partition_id")
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.sum(F.when(F.col("status") == "OK", 1).otherwise(0)).alias("n_ok"),
-            ),
-            schemas.LINEAGE,
-        )
+        ).coalesce(1)
 
         cat.commit(
             f"wave={wave_id}",
-            appends={
-                "fetches": results,
-                "url_seen": url_seen,
-                "metrics": metrics,
-                "lineage": lineage,
-            },
+            appends={"fetches": results, "metrics": metrics},
             replaces={"pending": new_pending},
             watermark=wave_id,
         )
