@@ -1,0 +1,94 @@
+"""Broadcast Bloom URL-seen filter (operators/bloom.py) — the north-rule
+"bloom/cuckoo URL-seen" component.
+
+Invariants under test:
+- no false negatives, ever (the property that makes the pre-filter exact);
+- bounded false-positive rate near the configured fpp;
+- ``seen_anti_join`` ≡ plain exact ``left_anti`` for overlapping inputs;
+- ``scheduler.add_seeds`` end-to-end: cache hits rejected as 'cached'
+  (backend tasks.py:148-156 D1), already-enqueued as 'enqueued', fresh URLs
+  crawled exactly once after resume.
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from visiblev8_crawler_spark.operators import bloom as B
+from visiblev8_crawler_spark.streaming import scheduler
+from visiblev8_crawler_spark.streaming.scheduler import CrawlConfig
+
+
+def _urls_df(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "canon_url string")
+
+
+def test_bloom_numpy_kernel_no_false_negatives():
+    rng = np.random.default_rng(7)
+    h1 = rng.integers(0, 2**63, size=4000, dtype=np.int64).astype(np.uint64)
+    h2 = rng.integers(0, 2**63, size=4000, dtype=np.int64).astype(np.uint64)
+    m, k = B.BloomFilter.params_for(4000, 0.01)
+    bf = B.BloomFilter(m, k, np.zeros(m // 8, dtype=np.uint8))
+    bf.add_hashes(h1, h2)
+    assert bf.maybe_contains(h1, h2).all()
+
+
+def test_bloom_spark_build_probe(spark):
+    members = [f"https://h{i % 97}.example/img/img_{i:012d}" for i in range(5000)]
+    others = [f"https://h{i % 97}.example/img/img_{i:012d}" for i in range(5000, 10000)]
+    bf = B.build_bloom(_urls_df(spark, members), fpp=0.01)
+
+    got = B.with_bloom_maybe(_urls_df(spark, members), bf).collect()
+    assert all(r["maybe_seen"] for r in got), "bloom false negative"
+
+    fp = [r["maybe_seen"] for r in B.with_bloom_maybe(_urls_df(spark, others), bf).collect()]
+    assert sum(fp) / len(fp) < 0.05, f"fp rate {sum(fp)/len(fp)} too high for fpp=0.01"
+
+
+def test_seen_anti_join_equals_exact(spark):
+    cand = _urls_df(spark, [f"u://c/{i}" for i in range(2000)])
+    seen = _urls_df(spark, [f"u://c/{i}" for i in range(1000, 2500)])
+    got = {r["canon_url"] for r in B.seen_anti_join(cand, seen).collect()}
+    want = {r["canon_url"] for r in cand.join(seen, "canon_url", "left_anti").collect()}
+    assert got == want
+    assert got == {f"u://c/{i}" for i in range(1000)}
+
+
+def test_add_seeds_cross_campaign(spark, world, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cat_seeds"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cfg = CrawlConfig(batch_size=150)
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images, cfg, stop_after_waves=2
+    )
+
+    crawled = [r["canon_url"] for r in scheduler.url_seen_df(cat).limit(3).collect()]
+    enqueued = [
+        r["canon_url"]
+        for r in cat.read("pending")
+        .join(scheduler.url_seen_df(cat).select("canon_url"), "canon_url", "left_anti")
+        .limit(3)
+        .collect()
+    ]
+    fresh = [f"https://brand-new.example/img/img_{i:012d}" for i in range(5)]
+    seeds = crawled + enqueued + fresh + ["ftp://nope.example/x"]
+    new_frontier = spark.createDataFrame(
+        [(i, u, 0) for i, u in enumerate(seeds)], "seq long, url string, priority int"
+    )
+
+    counts = scheduler.add_seeds(spark, cat, new_frontier, robots)
+    assert counts["cached"] == 3
+    assert counts["enqueued"] == 3
+    assert counts["invalid"] == 1
+    assert counts["added"] == 5
+
+    cat = scheduler.run_campaign(spark, root, frontier, robots, images, cfg)
+    seen = {r["canon_url"] for r in scheduler.url_seen_df(cat).collect()}
+    assert set(fresh) <= seen
+    n_first = (
+        cat.read("fetches")
+        .filter(F.col("canon_url").isin(*fresh) & (F.col("attempt") == 1))
+        .count()
+    )
+    assert n_first == 5, "each fresh seed crawled exactly once"

@@ -57,6 +57,11 @@ class ParquetCatalog:
     def prepared(self) -> bool:
         return self._load_manifest()["prepared"]
 
+    def file_sets(self, name: str) -> int:
+        """Number of committed file sets for a table (used to derive unique,
+        deterministic commit tags for incremental appends)."""
+        return len(self._load_manifest()["tables"].get(name, []))
+
     # -- reads -------------------------------------------------------------
     def read(self, name: str) -> DataFrame:
         paths = self._load_manifest()["tables"].get(name, [])

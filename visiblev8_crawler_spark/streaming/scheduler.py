@@ -191,6 +191,94 @@ def run_campaign(
     return cat
 
 
+def add_seeds(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    new_frontier: DataFrame,
+    robots: DataFrame,
+    fpp: float = 0.01,
+) -> dict:
+    """Incremental seed ingest into a live/finished campaign — the rebuild of
+    the reference's always-on submit path: new URLs arrive while a campaign
+    runs (resend_script_ids.py:59-99 poll loop, C10) and each is checked
+    against the crawl cache first (backend tasks.py:148-156, D1: a hit
+    returns the cached submission instead of re-crawling).
+
+    The cache check is where 10^10 scale bites: an exact anti-join of every
+    ingest batch against the full ``url_seen`` table reshuffles the seen set
+    each time. Here the broadcast Bloom filter (operators/bloom.py) screens
+    the batch first — bloom-negative rows (the vast majority of genuinely
+    new URLs) skip the join entirely; only bloom-positive rows take the
+    exact join, so exactness is preserved while the join's probe side
+    shrinks to (dup_rate + fpp) of the batch.
+
+    New rows are re-sequenced after every seq already in the catalog, so one
+    global crawl order (seq) stays total and deterministic across ingests.
+    Returns counts: {added, cached, enqueued, invalid, duplicate, robots}.
+    """
+    from ..operators.bloom import build_bloom, with_bloom_maybe
+
+    pending = cat.read("pending")
+    fetches = cat.read("fetches")
+    rejected = cat.read("rejected")
+
+    base = (
+        pending.select(F.max("seq").alias("m"))
+        .unionByName(fetches.select(F.max("seq").alias("m")))
+        .unionByName(rejected.select(F.max("seq").alias("m")))
+        .agg(F.max("m"))
+        .collect()[0][0]
+    )
+    base = int(base) + 1 if base is not None else 0
+
+    prep = prepare_frontier(
+        new_frontier.withColumn("seq", F.col("seq") + F.lit(base)), robots
+    ).persist()
+    batch_rejects = schemas.conform(prep.filter(F.col("reason").isNotNull()), schemas.REJECTED)
+    cand = schemas.conform(prep.filter(F.col("reason").isNull()), schemas.PENDING)
+
+    # the "crawl cache": all first-attempt urls ever fetched (cached) plus
+    # urls already enqueued but not yet crawled (enqueued). A retried url is
+    # in both — 'cached' wins ('a'<'e'), matching the reference's cache-hit.
+    known = (
+        url_seen_df(cat).select("canon_url").withColumn("why", F.lit("cached"))
+        .unionByName(pending.select("canon_url").withColumn("why", F.lit("enqueued")))
+        .groupBy("canon_url")
+        .agg(F.min("why").alias("why"))
+    )
+    bf = build_bloom(known, "canon_url", fpp=fpp)
+    flagged = with_bloom_maybe(cand, bf).persist()
+    clean = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspect = flagged.filter(F.col("maybe_seen")).drop("maybe_seen").join(known, "canon_url", "left")
+    fresh = schemas.conform(
+        clean.unionByName(suspect.filter(F.col("why").isNull()).drop("why")), schemas.PENDING
+    )
+    cache_hits = schemas.conform(
+        suspect.filter(F.col("why").isNotNull()).withColumn("url", F.col("canon_url")).withColumn("reason", F.col("why")),
+        schemas.REJECTED,
+    )
+
+    tag = f"seeds-{cat.file_sets('rejected')}"
+    counts = {
+        "added": fresh.count(),
+        **{
+            r["reason"]: r["n"]
+            for r in batch_rejects.unionByName(cache_hits)
+            .groupBy("reason")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        },
+    }
+    cat.commit(
+        tag,
+        appends={"rejected": batch_rejects.unionByName(cache_hits)},
+        replaces={"pending": pending.unionByName(fresh)},
+    )
+    prep.unpersist()
+    flagged.unpersist()
+    return counts
+
+
 def crawl_order_df(cat: ParquetCatalog) -> DataFrame:
     """(canon_url, wave_id, order_in_wave) for first attempts — the golden
     crawl-order tuple compared against the simulator."""
