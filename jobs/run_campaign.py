@@ -99,7 +99,7 @@ def main() -> None:
                 "ok": m["ok"],
                 "failed": m["failed"],
                 "rejected": cat.read("rejected").count(),
-                "pending_left": cat.read("pending").count(),
+                "pending_left": scheduler.pending_df(cat).count(),
                 "wall_s": round(wall, 2),
                 "rows_per_s": round((m["attempted"] or 0) / wall, 1),
             }

@@ -66,7 +66,7 @@ def test_add_seeds_cross_campaign(spark, world, tmp_path_factory):
     crawled = [r["canon_url"] for r in scheduler.url_seen_df(cat).limit(3).collect()]
     enqueued = [
         r["canon_url"]
-        for r in cat.read("pending")
+        for r in scheduler.pending_df(cat)
         .join(scheduler.url_seen_df(cat).select("canon_url"), "canon_url", "left_anti")
         .limit(3)
         .collect()

@@ -85,15 +85,16 @@ def test_salt_width_invariance(spark, world):
 
     from visiblev8_crawler_spark import schemas
     from visiblev8_crawler_spark.operators.dedup import prepare_frontier
-    from visiblev8_crawler_spark.operators.waves import select_wave
+    from visiblev8_crawler_spark.operators.waves import salt_col, select_wave
 
     frontier = spark.read.parquet(world["paths"]["frontier"])
     robots = spark.read.parquet(world["paths"]["robots"])
-    pending = schemas.conform(
-        prepare_frontier(frontier, robots).filter(F.col("reason").isNull()), schemas.PENDING
-    )
+    prepared = prepare_frontier(frontier, robots).filter(F.col("reason").isNull())
     base = None
     for s in (1, 8, 32):
+        pending = schemas.conform(
+            prepared.withColumn("salt", salt_col(F.col("canon_url"), s)), schemas.PENDING
+        )
         got = sorted(
             (r["canon_url"], r["order_in_wave"])
             for r in select_wave(pending, robots, 0, BATCH, salt_width=s).collect()
@@ -124,4 +125,4 @@ def test_kill_resume_identical(spark, world, spark_run, tmp_path_factory):
         a = {tuple(r[k] for k in keys) for r in cat.read(table).collect()}
         b = {tuple(r[k] for k in keys) for r in spark_run.read(table).collect()}
         assert a == b, table
-    assert cat.read("pending").count() == 0
+    assert scheduler.pending_df(cat).count() == 0

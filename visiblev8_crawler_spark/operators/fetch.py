@@ -84,7 +84,10 @@ def fetch_verify(wave: DataFrame, images: DataFrame) -> DataFrame:
     Iceberg/bucketed layout this is partition/file pruning), (2) the pruned
     rows are themselves small enough to broadcast back for the LeftOuter.
     Net: the big table is scanned with a pushed filter, never shuffled."""
-    wave_ids = wave.select("image_id").where(F.col("image_id").isNotNull()).distinct()
+    # no .distinct() on the wave ids: the semi-join dedups anyway, and the
+    # distinct would cost an extra shuffle stage per wave just to shrink an
+    # already-small broadcast
+    wave_ids = wave.select("image_id").where(F.col("image_id").isNotNull())
     matched = images.join(F.broadcast(wave_ids), "image_id", "left_semi")
     joined = wave.alias("w").join(
         F.broadcast(matched.alias("i")),

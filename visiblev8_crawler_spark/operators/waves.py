@@ -12,23 +12,40 @@ Selection spec (must match simulator.simulate_campaign exactly):
 which is the window form of the simulator's sequential greedy scan (proof in
 simulator.py docstring).
 
-Skew (north_rule "salted, host-hash-partitioned"): a hot host (Zipf head,
-urls_100k.txt analog) would put all its pending rows into one window
-partition. ``salt_width`` S splits each host's rows into S deterministic
-sub-partitions by xxhash64(canon_url): phase 1 ranks within (host, salt) and
-keeps only rank <= cap — at most S*cap rows per host survive, independent of
-how hot the host is — then phase 2 re-ranks exactly within host over that
-bounded set. Result is *identical* to the unsalted window for every S >= 1
-(phase 1 can never drop a row that phase 2 would keep: a row with
+Skew + shuffle design (north_rule "salted, host-hash-partitioned"):
+a hot host (Zipf head, urls_100k.txt analog) would put all its pending rows
+into one window partition. The ``salt`` column (pmod(xxhash64(canon_url,
+'wave-salt'), S), stored in PENDING) splits each host's rows into S
+deterministic sub-partitions: phase 1 ranks within (host, salt) and keeps
+only rank <= cap — at most S*cap rows per host survive, independent of how
+hot the host is — then phase 2 re-ranks exactly within host over that
+bounded set. The result is *identical* to the unsalted window for every
+S >= 1 (phase 1 can never drop a row that phase 2 would keep: a row with
 within-host rank <= cap has within-(host,salt) rank <= cap too).
+
+Phase 1 is the only pending-sized operation: one hash exchange on
+(host, salt) + per-partition sort. On a real cluster the pending pool lives
+as an Iceberg table bucketed by bucket(host) & salt, and storage-partitioned
+reads (spark.sql.sources.v2.bucketing.enabled) eliminate that exchange; in
+local mode the pool is a localCheckpoint'd DataFrame and pays it per wave.
+``retries`` (a much smaller pool) join *after* phase 1; that is safe for the
+same reason salting is: phase 1 only ever prunes rows that phase 2 would
+prune anyway, so adding rows that skipped phase 1 cannot change the phase-2
+outcome, it only (slightly) loosens the phase-1 bound.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_BUDGET = 25  # simulator.DEFAULT_MAX_PER_WAVE
+
+SALT_SEED = "wave-salt"
+
+
+def salt_col(canon_url: Column, salt_width: int) -> Column:
+    return F.pmod(F.xxhash64(canon_url, F.lit(SALT_SEED)), F.lit(salt_width)).cast("int")
 
 
 def with_host_budget(pending: DataFrame, robots: DataFrame, default_budget: int) -> DataFrame:
@@ -47,23 +64,23 @@ def select_wave(
     batch_size: int,
     default_budget: int = DEFAULT_BUDGET,
     salt_width: int = 8,
+    retries: DataFrame | None = None,
 ) -> DataFrame:
-    """Pick this wave's rows from pending. Returns pending columns +
-    (wave_id, order_in_wave). Deterministic and plan-independent."""
-    cand = with_host_budget(pending, robots, default_budget)
+    """Pick this wave's rows from pending (∪ retries). Returns pending
+    columns + (wave_id, order_in_wave). Deterministic and plan-independent."""
     order = [F.col("priority").desc(), F.col("seq").asc()]
 
+    cand = with_host_budget(pending, robots, default_budget)
     if salt_width > 1:
-        cand = cand.withColumn(
-            "_salt", F.pmod(F.xxhash64("canon_url", F.lit("wave-salt")), F.lit(salt_width))
-        )
-        w1 = Window.partitionBy("host", "_salt").orderBy(*order)
-        cand = (
-            cand.withColumn("_r1", F.row_number().over(w1))
-            .filter(F.col("_r1") <= F.col("host_budget"))
-            .drop("_r1", "_salt")
-        )
-    # exact per-host rank over the (now bounded per host) candidate set
+        # phase 1: bound each host to <= salt_width*cap survivors. Runs on
+        # the stored (host, salt) partitioning — no exchange, only a sort.
+        w1 = Window.partitionBy("host", "salt").orderBy(*order)
+        cand = cand.withColumn("_r1", F.row_number().over(w1)).filter(
+            F.col("_r1") <= F.col("host_budget")
+        ).drop("_r1")
+    if retries is not None:
+        cand = cand.unionByName(with_host_budget(retries, robots, default_budget))
+    # phase 2: exact per-host rank over the (now bounded per host) candidates
     w2 = Window.partitionBy("host").orderBy(*order)
     eligible = (
         cand.withColumn("_hr", F.row_number().over(w2))

@@ -75,7 +75,12 @@ FRONTIER_PREPARED = StructType(
     ]
 )
 
-# the not-yet-crawled remainder of the frontier, rewritten per wave
+# the not-yet-crawled remainder of the frontier — DERIVED state, never
+# written (scheduler.pending_df). ``salt`` splits a hot host's rows across
+# partitions (north_rule skew handling); it is a pure function of
+# (canon_url, salt_width) and lives here so the in-memory pending frame can
+# stay hash-partitioned by (host, salt) across waves — the politeness window
+# then runs exchange-free.
 PENDING = StructType(
     [
         StructField("canon_url", StringType()),
@@ -86,6 +91,7 @@ PENDING = StructType(
         StructField("priority", IntegerType()),
         StructField("seq", LongType()),
         StructField("attempt", IntegerType()),
+        StructField("salt", IntegerType()),
     ]
 )
 

@@ -7,21 +7,37 @@ checkpointing (url_sender.py:146-200), and retry-once (url_sender.py:242-253)
 — collapsed into one deterministic DataFrame loop with atomic per-wave
 commits (catalog.ParquetCatalog; Iceberg semantics).
 
+State model (append-only, Iceberg-shaped):
+    frontier_prepared  immutable, written once at prep (+ appended by
+                       add_seeds): every seed dispositioned; reason null =
+                       the schedulable pool.
+    fetches            appended per wave; the ONLY mutable crawl state.
+                       Everything else is a projection of it:
+                         url_seen  = first attempts (url_seen_df)
+                         retries   = failed-retryable firsts minus already-
+                                     retried (pending_df)
+                         lineage   = per-(wave, partition) rollup (lineage_df)
+    pending            DERIVED, never written: pool ANTI url_seen ∪ retries.
+                       During a run it lives as a localCheckpoint'd DataFrame
+                       updated per wave with a broadcast anti-join (selected
+                       wave ids are <= batch_size rows); on resume it is
+                       re-derived from the committed tables. At 10^10-frontier
+                       scale this is the difference between appending
+                       ~batch_size rows per wave and rewriting the whole
+                       frontier per wave.
+
 Per wave:
     pending ->(select_wave: politeness windows + top-k)-> wave rows
-            ->(fetch_verify: semi-join-pruned images join + Arrow UDF)-> fetches
-    commit atomically: append fetches/url_seen/metrics/lineage,
-                       rewrite pending = pending - selected + retries,
-                       watermark = wave_id.
+            ->(fetch_verify: semi-join-pruned images join + Arrow UDF)-> rows
+    commit atomically: append fetches + metrics, watermark = wave_id.
 
 Exactly-once resume: every wave is a pure function of the previous committed
 snapshot, and the manifest swap is atomic — kill the driver anywhere and a
 restart re-runs at most the in-flight wave, producing byte-identical tables
-(C8, url_sender.py:146-200 semantics, minus the pickle).
-
-The loop is micro-batch by construction ("Trigger.AvailableNow per wave");
-there is no unbounded external stream in the reference either — its waves are
-time-gated reads of a static seed list.
+(C8, url_sender.py:146-200 semantics, minus the pickle). localCheckpoint is
+a pure cache: if its blocks are lost (executor death on a real cluster) the
+campaign restarts from the catalog and re-derives, so reliability never
+depends on it.
 """
 
 from __future__ import annotations
@@ -36,12 +52,11 @@ from .. import schemas
 from ..catalog import ParquetCatalog
 from ..operators.dedup import prepare_frontier
 from ..operators.fetch import fetch_verify
-from ..operators.waves import select_wave
+from ..operators.waves import salt_col, select_wave
 from ..simulator import RETRYABLE
 
 TABLE_SCHEMAS = {
     "frontier_prepared": schemas.FRONTIER_PREPARED,
-    "pending": schemas.PENDING,
     "fetches": schemas.FETCHES,
     "rejected": schemas.REJECTED,
     "metrics": schemas.METRICS,
@@ -74,6 +89,39 @@ def lineage_df(cat: ParquetCatalog) -> DataFrame:
     )
 
 
+def pool_df(cat: ParquetCatalog) -> DataFrame:
+    """The schedulable pool: prepared rows that passed validate/dedup/robots."""
+    return cat.read("frontier_prepared").filter(F.col("reason").isNull())
+
+
+def pending_df(cat: ParquetCatalog, salt_width: int = 8) -> DataFrame:
+    """Re-derive not-yet-crawled state from the committed tables (the resume
+    path, and the definition the in-run incremental pending must equal):
+      fresh   = pool ANTI url_seen                       (attempt 1)
+      retries = failed-retryable first attempts that have no second attempt
+                yet, rejoined to their pool row          (attempt 2)
+    """
+    pool = pool_df(cat).withColumn("salt", salt_col(F.col("canon_url"), salt_width))
+    fetches = cat.read("fetches")
+    first = fetches.filter(F.col("attempt") == 1)
+    fresh = pool.join(first.select("canon_url"), "canon_url", "left_anti").withColumn(
+        "attempt", F.lit(1)
+    )
+    retry_urls = (
+        first.filter(F.col("status").isin(*RETRYABLE))
+        .select("canon_url")
+        .join(
+            fetches.filter(F.col("attempt") == 2).select("canon_url"),
+            "canon_url",
+            "left_anti",
+        )
+    )
+    retries = pool.join(retry_urls, "canon_url", "left_semi").withColumn(
+        "attempt", F.lit(2)
+    )
+    return schemas.conform(fresh.unionByName(retries), schemas.PENDING)
+
+
 @dataclass
 class CrawlConfig:
     batch_size: int = 1000
@@ -101,10 +149,10 @@ def run_campaign(
     cat = open_catalog(spark, catalog_root)
 
     if not cat.prepared():
-        # stage 1: the expensive pass (canonicalize + dedup window + robots
-        # gate) computed ONCE and committed; stage 2 derives pending/rejected
-        # by scanning the committed files — no recompute. Both stages write
-        # to deterministic paths, so a kill between them re-runs cleanly.
+        # the expensive pass (canonicalize + dedup window + robots gate)
+        # computed ONCE and committed; rejected is then derived by scanning
+        # the committed files — no recompute. Two commits so a kill between
+        # them re-runs cleanly (paths are deterministic).
         cat.commit("prep", appends={"frontier_prepared": prepare_frontier(frontier, robots)})
         fp = cat.read("frontier_prepared")
         cat.commit(
@@ -114,11 +162,23 @@ def run_campaign(
                     fp.filter(F.col("reason").isNotNull()), schemas.REJECTED
                 )
             },
-            replaces={
-                "pending": schemas.conform(fp.filter(F.col("reason").isNull()), schemas.PENDING)
-            },
             prepared=True,
         )
+
+    # derive once (resume point), then maintain incrementally in memory;
+    # localCheckpoint materializes each generation and truncates lineage so
+    # plan depth stays O(1) in waves (a persist-chain would preserve
+    # outputPartitioning but accumulates nested cached plans until the JVM
+    # heap gives out). The phase-1 politeness window therefore pays one
+    # hash exchange of the fresh pool per wave in local mode; on a real
+    # cluster the pool lives as an Iceberg table bucketed by (host, salt)
+    # and storage-partitioned reads make that exchange disappear.
+    # ``retry_pool`` (tiny, bounded by one wave's failures) bypasses phase 1
+    # inside select_wave.
+    P = spark.sparkContext.defaultParallelism
+    pending = pending_df(cat, cfg.salt_width)
+    fresh = pending.filter(F.col("attempt") == 1).localCheckpoint(eager=True)
+    retry_pool = pending.filter(F.col("attempt") == 2).coalesce(P).localCheckpoint(eager=True)
 
     wave_id = cat.watermark() + 1
     waves_done = 0
@@ -126,15 +186,20 @@ def run_campaign(
         if stop_after_waves is not None and waves_done >= stop_after_waves:
             break
         t0 = time.perf_counter()
-        pending = cat.read("pending")
         # select_wave necessarily funnels through one partition to assign
         # order_in_wave (bounded <= batch_size rows); re-spread the wave so
         # the fetch UDF uses every core instead of one.
         selected = (
             select_wave(
-                pending, robots, wave_id, cfg.batch_size, cfg.default_budget, cfg.salt_width
+                fresh,
+                robots,
+                wave_id,
+                cfg.batch_size,
+                cfg.default_budget,
+                cfg.salt_width,
+                retries=retry_pool,
             )
-            .repartition(spark.sparkContext.defaultParallelism, "canon_url")
+            .repartition(P, "canon_url")
             .persist()
         )
         # no separate emptiness check: the one aggregate below both counts
@@ -150,39 +215,50 @@ def run_campaign(
             results.unpersist()
             break
 
+        wall = time.perf_counter() - t0
+        # JVM-side 1-row relation: a python-list createDataFrame would drag a
+        # 32-partition Python RDD through the worker pipeline (~5 s/write)
+        metrics = schemas.conform(
+            spark.range(0, 1, 1, 1)
+            .select(
+                F.lit(wave_id).alias("wave_id"),
+                F.lit(n_attempted).alias("n_attempted"),
+                F.lit(n_ok).alias("n_ok"),
+                F.lit(n_attempted - n_ok).alias("n_failed"),
+                F.lit(wall).alias("wall_s"),
+                F.lit(n_attempted / wall if wall > 0 else 0.0).alias("rows_per_s"),
+            ),
+            schemas.METRICS,
+        )
+
+        # the atomic wave commit: appends only — nothing is rewritten
+        cat.commit(
+            f"wave={wave_id}",
+            appends={"fetches": results, "metrics": metrics},
+            watermark=wave_id,
+        )
+
+        # incremental pending update (in-memory mirror of pending_df over the
+        # new snapshot): drop this wave's rows from both pools, add this
+        # wave's retryable failures as attempt 2. All joins broadcast the
+        # wave keys (<= batch_size rows) — the fresh pool keeps its
+        # (host, salt) partitioning through the anti-join.
+        wave_keys = F.broadcast(selected.select("canon_url"))
         bad = results.filter(
             (F.col("attempt") == 1) & F.col("status").isin(*RETRYABLE)
         ).select("canon_url")
-        retries = schemas.conform(
+        new_retries = schemas.conform(
             selected.join(F.broadcast(bad), "canon_url", "left_semi").withColumn(
                 "attempt", F.lit(2)
             ),
             schemas.PENDING,
         )
-        new_pending = pending.join(
-            F.broadcast(selected.select("canon_url")), "canon_url", "left_anti"
-        ).unionByName(retries)
-
-        wall = time.perf_counter() - t0
-        metrics = spark.createDataFrame(
-            [
-                (
-                    wave_id,
-                    n_attempted,
-                    n_ok,
-                    n_attempted - n_ok,
-                    wall,
-                    n_attempted / wall if wall > 0 else 0.0,
-                )
-            ],
-            schemas.METRICS,
-        ).coalesce(1)
-
-        cat.commit(
-            f"wave={wave_id}",
-            appends={"fetches": results, "metrics": metrics},
-            replaces={"pending": new_pending},
-            watermark=wave_id,
+        fresh = fresh.join(wave_keys, "canon_url", "left_anti").localCheckpoint(eager=True)
+        retry_pool = (
+            retry_pool.join(wave_keys, "canon_url", "left_anti")
+            .unionByName(new_retries)
+            .coalesce(P)
+            .localCheckpoint(eager=True)
         )
         selected.unpersist()
         results.unpersist()
@@ -205,77 +281,79 @@ def add_seeds(
     returns the cached submission instead of re-crawling).
 
     The cache check is where 10^10 scale bites: an exact anti-join of every
-    ingest batch against the full ``url_seen`` table reshuffles the seen set
-    each time. Here the broadcast Bloom filter (operators/bloom.py) screens
-    the batch first — bloom-negative rows (the vast majority of genuinely
-    new URLs) skip the join entirely; only bloom-positive rows take the
-    exact join, so exactness is preserved while the join's probe side
-    shrinks to (dup_rate + fpp) of the batch.
+    ingest batch against the full seen-set reshuffles it each time. Here the
+    broadcast Bloom filter (operators/bloom.py) screens the batch first —
+    bloom-negative rows (the vast majority of genuinely new URLs) skip the
+    join entirely; only bloom-positive rows take the exact join, so exactness
+    is preserved while the join's probe side shrinks to (dup_rate + fpp) of
+    the batch.
 
     New rows are re-sequenced after every seq already in the catalog, so one
     global crawl order (seq) stays total and deterministic across ingests.
-    Returns counts: {added, cached, enqueued, invalid, duplicate, robots}.
+    Dispositions: fresh rows land in frontier_prepared with reason null
+    (-> schedulable); already-crawled urls are rejected as 'cached',
+    already-enqueued ones as 'enqueued', plus the usual invalid/duplicate/
+    robots from preparation. Returns the per-disposition counts.
     """
     from ..operators.bloom import build_bloom, with_bloom_maybe
 
-    pending = cat.read("pending")
-    fetches = cat.read("fetches")
-    rejected = cat.read("rejected")
-
-    base = (
-        pending.select(F.max("seq").alias("m"))
-        .unionByName(fetches.select(F.max("seq").alias("m")))
-        .unionByName(rejected.select(F.max("seq").alias("m")))
-        .agg(F.max("m"))
-        .collect()[0][0]
-    )
+    base = cat.read("frontier_prepared").agg(F.max("seq")).collect()[0][0]
     base = int(base) + 1 if base is not None else 0
 
     prep = prepare_frontier(
         new_frontier.withColumn("seq", F.col("seq") + F.lit(base)), robots
     ).persist()
-    batch_rejects = schemas.conform(prep.filter(F.col("reason").isNotNull()), schemas.REJECTED)
-    cand = schemas.conform(prep.filter(F.col("reason").isNull()), schemas.PENDING)
+    batch_rejects = prep.filter(F.col("reason").isNotNull())
+    cand = prep.filter(F.col("reason").isNull())
 
-    # the "crawl cache": all first-attempt urls ever fetched (cached) plus
-    # urls already enqueued but not yet crawled (enqueued). A retried url is
-    # in both — 'cached' wins ('a'<'e'), matching the reference's cache-hit.
-    known = (
-        url_seen_df(cat).select("canon_url").withColumn("why", F.lit("cached"))
-        .unionByName(pending.select("canon_url").withColumn("why", F.lit("enqueued")))
-        .groupBy("canon_url")
-        .agg(F.min("why").alias("why"))
-    )
-    bf = build_bloom(known, "canon_url", fpp=fpp)
+    # the "crawl cache": every url in the pool is either crawled (cached) or
+    # awaiting crawl (enqueued); url_seen ⊆ pool so one bloom covers both.
+    pool_urls = pool_df(cat).select("canon_url")
+    bf = build_bloom(pool_urls, "canon_url", fpp=fpp)
     flagged = with_bloom_maybe(cand, bf).persist()
     clean = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    suspect = flagged.filter(F.col("maybe_seen")).drop("maybe_seen").join(known, "canon_url", "left")
-    fresh = schemas.conform(
-        clean.unionByName(suspect.filter(F.col("why").isNull()).drop("why")), schemas.PENDING
+    suspect = (
+        flagged.filter(F.col("maybe_seen"))
+        .drop("maybe_seen")
+        .join(pool_urls.withColumn("_pool", F.lit(True)), "canon_url", "left")
+        .join(
+            url_seen_df(cat).select("canon_url").withColumn("_seen", F.lit(True)),
+            "canon_url",
+            "left",
+        )
+        .withColumn(
+            "reason",
+            F.when(F.col("_seen"), "cached").when(F.col("_pool"), "enqueued"),
+        )
+        .drop("_pool", "_seen")
     )
-    cache_hits = schemas.conform(
-        suspect.filter(F.col("why").isNotNull()).withColumn("url", F.col("canon_url")).withColumn("reason", F.col("why")),
-        schemas.REJECTED,
-    )
+    ingested = schemas.conform(
+        clean.unionByName(suspect), schemas.FRONTIER_PREPARED
+    ).persist()
 
-    tag = f"seeds-{cat.file_sets('rejected')}"
     counts = {
-        "added": fresh.count(),
+        "added": ingested.filter(F.col("reason").isNull()).count(),
         **{
             r["reason"]: r["n"]
-            for r in batch_rejects.unionByName(cache_hits)
+            for r in batch_rejects.unionByName(suspect.filter(F.col("reason").isNotNull()))
             .groupBy("reason")
             .agg(F.count("*").alias("n"))
             .collect()
         },
     }
+    all_new = schemas.conform(batch_rejects, schemas.FRONTIER_PREPARED).unionByName(ingested)
     cat.commit(
-        tag,
-        appends={"rejected": batch_rejects.unionByName(cache_hits)},
-        replaces={"pending": pending.unionByName(fresh)},
+        f"seeds-{cat.file_sets('frontier_prepared')}",
+        appends={
+            "frontier_prepared": all_new,
+            "rejected": schemas.conform(
+                all_new.filter(F.col("reason").isNotNull()), schemas.REJECTED
+            ),
+        },
     )
     prep.unpersist()
     flagged.unpersist()
+    ingested.unpersist()
     return counts
 
 
