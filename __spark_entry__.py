@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def _registry():
-    from visiblev8_crawler_spark.plans import annops, queries, textops  # noqa: F401
+    from visiblev8_crawler_spark.plans import (  # noqa: F401
+        annops,
+        imageops,
+        queries,
+        textops,
+    )
 
     return queries.QUERIES
 

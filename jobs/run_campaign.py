@@ -29,7 +29,15 @@ def main() -> None:
     ap.add_argument("--salt-width", type=int, default=8)
     ap.add_argument("--stop-after-waves", type=int, default=None)
     ap.add_argument("--parallelism", type=int, default=32)
+    ap.add_argument("--budget-scale", type=int, default=1)
+    ap.add_argument(
+        "--image-sizes",
+        default="16,24,32",
+        help="comma-separated side lengths for the synthetic images; larger "
+        "sizes raise per-fetch decode cost (used by the scaling bench)",
+    )
     args = ap.parse_args()
+    sizes = tuple(int(x) for x in args.image_sizes.split(","))
 
     from pyspark.sql import SparkSession
 
@@ -48,15 +56,15 @@ def main() -> None:
         # generate the fetch universe distributed; frontier/robots driver-side
         # (frontier is also available distributed via generate_frontier_spark)
         os.makedirs(world, exist_ok=True)
-        synth.generate_images_spark(spark, args.images, args.parallelism).write.mode(
+        synth.generate_images_spark(spark, args.images, args.parallelism, sizes).write.mode(
             "overwrite"
         ).parquet(os.path.join(world, "images.parquet"))
         synth.generate_frontier_spark(
             spark, args.urls, args.images, args.hosts, args.parallelism
         ).write.mode("overwrite").parquet(os.path.join(world, "frontier.parquet"))
-        spark.createDataFrame(synth.generate_robots_pdf(args.hosts)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(world, "robots.parquet"))
+        spark.createDataFrame(
+            synth.generate_robots_pdf(args.hosts, args.budget_scale)
+        ).write.mode("overwrite").parquet(os.path.join(world, "robots.parquet"))
 
     frontier = spark.read.parquet(os.path.join(world, "frontier.parquet"))
     robots = spark.read.parquet(os.path.join(world, "robots.parquet"))
@@ -87,9 +95,11 @@ def main() -> None:
             F.sum("n_ok").alias("ok"),
             F.sum("n_failed").alias("failed"),
             F.max("wave_id").alias("last_wave"),
+            F.sum("wall_s").alias("wave_wall_s"),
         )
         .collect()[0]
     )
+    wave_wall = float(m["wave_wall_s"] or 0.0)
     print(
         json.dumps(
             {
@@ -102,6 +112,13 @@ def main() -> None:
                 "pending_left": scheduler.pending_df(cat).count(),
                 "wall_s": round(wall, 2),
                 "rows_per_s": round((m["attempted"] or 0) / wall, 1),
+                # steady-state: per-wave wall only (excludes one-time prep /
+                # pending derivation / worker warmup, which a long campaign
+                # amortizes over thousands of waves)
+                "wave_wall_s": round(wave_wall, 2),
+                "steady_rows_per_s": round((m["attempted"] or 0) / wave_wall, 1)
+                if wave_wall > 0
+                else 0.0,
             }
         )
     )

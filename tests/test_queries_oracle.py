@@ -62,3 +62,14 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) >= 2
+
+
+def test_approx_distinct_within_bound(spark, ddb):
+    """approx_count_distinct has no cross-engine oracle (HLL sketches differ);
+    check the estimate against the exact cardinality instead."""
+    row = entry_mod.queries()["approx_distinct_sources"](spark, SF_DIR).collect()[0]
+    exact_sources, exact_docs = ddb.sql(
+        "SELECT COUNT(DISTINCT source), COUNT(DISTINCT doc_id) FROM documents"
+    ).fetchall()[0]
+    assert abs(row["approx_sources"] - exact_sources) / exact_sources < 0.05
+    assert abs(row["approx_docs"] - exact_docs) / exact_docs < 0.05

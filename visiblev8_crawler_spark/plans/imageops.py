@@ -1,0 +1,210 @@
+"""Multimodal (image) operators over binary columns — the training-pipeline
+surface the build brief asks for beyond the reference: decode, metadata
+recovery, resize, feature extraction, perceptual fingerprinting, all as
+Arrow-batched ``mapInPandas`` kernels over a ``binary`` column.
+
+The driver's testdata has no binary table, so each op first *materializes* a
+deterministic image per document row (pixels + PNG encoding are pure
+functions of doc_id via codecs.pixels_for/encode_png — the same codec stack
+the crawl engine verifies fetches with). That keeps the plumbing real: a
+binary column flows through Arrow batches into vectorized Python kernels
+with an explicit output StructType, exactly as it would over a real
+image table (swap ``_with_images`` for ``spark.read.table('images')``).
+
+Oracle strategy: decode is not SQL-expressible, so most ops are rows-only
+for the driver's DuckDB gate (allowed for non-SQL ops) and are instead
+exact-checked in pytest against a pure-Python mirror. ``image_decode_dims``
+IS oracle-checked end-to-end: the builder sizes each image from an
+md5-derived formula both engines can compute, the kernel recovers (w, h)
+by actually parsing the PNG it built, and the oracle recomputes the formula
+— the hash match proves the encode->decode round trip recovers metadata
+bit-for-bit.
+
+Scale notes: the kernels are per-partition Arrow batches (no per-row Python
+dispatch, no driver collect); binary rows make big Arrow batches, so a real
+deployment caps spark.sql.execution.arrow.maxRecordsPerBatch the way the
+crawl scheduler does (streaming/scheduler.py CrawlConfig.arrow_batch_rows).
+Audio/video decode would slot into the same shape (binary column + typed
+metadata + mapInPandas kernel); those codecs aren't in this container, so
+``decode_av_stub`` raises NotImplementedError by design.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import codecs
+from .queries import load, q
+
+# deterministic size formula — mirrored literally in the DuckDB oracle:
+# side = 16 + (ascii(first md5 hex char of doc_id) % 3) * 8   in {16, 24, 32}
+_DIMS_SQL = "16 + (ascii(substr(md5(CAST(doc_id AS VARCHAR)), {pos}, 1)) % 3) * 8"
+
+
+def _dim_col(pos: int):
+    return (
+        16 + (F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), pos, 1)) % 3) * 8
+    ).cast("int")
+
+
+_IMG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bytes", BinaryType()),
+        StructField("decl_w", IntegerType()),
+        StructField("decl_h", IntegerType()),
+    ]
+)
+
+
+def _encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        out = []
+        for doc_id, w, h in zip(b["doc_id"], b["decl_w"], b["decl_h"]):
+            px = codecs.pixels_for(f"doc_{int(doc_id)}", int(w), int(h))
+            out.append(codecs.encode_png(px))
+        yield pd.DataFrame(
+            {"doc_id": b["doc_id"], "bytes": out, "decl_w": b["decl_w"], "decl_h": b["decl_h"]}
+        )
+
+
+def _with_images(spark, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, bytes, decl_w, decl_h): the synthetic binary
+    column. Deterministic per doc_id, so any parallelism yields identical
+    bytes."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("decl_w", _dim_col(1))
+        .withColumn("decl_h", _dim_col(2))
+    )
+    return docs.mapInPandas(_encode_batches, _IMG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# decode + metadata recovery (oracle-checked round trip)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "image_decode_dims",
+    f"""
+    SELECT doc_id,
+           CAST({_DIMS_SQL.format(pos=1)} AS INT) AS w,
+           CAST({_DIMS_SQL.format(pos=2)} AS INT) AS h
+    FROM documents
+    """,
+    "multimodal: binary column -> PNG parse -> recovered (w,h); oracle recomputes the size formula, so a hash match proves the encode->decode round trip",
+)
+def image_decode_dims(spark, sf_dir):
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ws, hs = [], []
+            for data in b["bytes"]:
+                arr = codecs.decode_png(bytes(data))
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+            yield pd.DataFrame({"doc_id": b["doc_id"], "w": ws, "h": hs})
+
+    return _with_images(spark, sf_dir).mapInPandas(decode, schema)
+
+
+# ---------------------------------------------------------------------------
+# feature extraction / resize / fingerprint (rows-only + pytest mirrors)
+# ---------------------------------------------------------------------------
+
+_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mean_r", IntegerType()),
+        StructField("mean_g", IntegerType()),
+        StructField("mean_b", IntegerType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def _stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        rows = {"doc_id": b["doc_id"], "mean_r": [], "mean_g": [], "mean_b": [], "phash": []}
+        for data in b["bytes"]:
+            arr = codecs.decode_png(bytes(data))
+            m = arr.reshape(-1, 3).mean(axis=0)
+            rows["mean_r"].append(int(m[0]))
+            rows["mean_g"].append(int(m[1]))
+            rows["mean_b"].append(int(m[2]))
+            rows["phash"].append(codecs.phash64(arr))
+        yield pd.DataFrame(rows)
+
+
+@q(
+    "image_feature_stats",
+    None,  # decode is not SQL-expressible; exact-checked in tests/test_imageops.py
+    "multimodal feature extraction: decode -> per-channel means + 64-bit perceptual hash, vectorized per Arrow batch",
+)
+def image_feature_stats(spark, sf_dir):
+    return _with_images(spark, sf_dir).mapInPandas(_stats_kernel, _STATS_SCHEMA)
+
+
+def resize_nn(arr: np.ndarray, side: int = 16) -> np.ndarray:
+    """Nearest-neighbor resize to side x side (pure numpy, shared with the
+    pytest mirror)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(side) * h // side).clip(0, h - 1)
+    xs = (np.arange(side) * w // side).clip(0, w - 1)
+    return arr[np.ix_(ys, xs)]
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("thumb_fp", StringType()),
+    ]
+)
+
+
+@q(
+    "image_resize_fp",
+    None,  # exact-checked in tests/test_imageops.py
+    "multimodal resize: decode -> 16x16 nearest-neighbor thumbnail -> content fingerprint (the dedup key for thumbnail-level exact dedup)",
+)
+def image_resize_fp(spark, sf_dir):
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            fps = []
+            for data in b["bytes"]:
+                thumb = resize_nn(codecs.decode_png(bytes(data)))
+                fps.append(hashlib.md5(thumb.tobytes()).hexdigest())
+            yield pd.DataFrame({"doc_id": b["doc_id"], "thumb_fp": fps})
+
+    return _with_images(spark, sf_dir).mapInPandas(kernel, _RESIZE_SCHEMA)
+
+
+def decode_av_stub(data: bytes, fmt: str) -> np.ndarray:
+    """Audio/video decode stub: the container ships no AV codecs, so the
+    Spark-side plumbing (binary column + mapInPandas kernel shape) is what
+    this module demonstrates; a real deployment drops pyav/ffmpeg in here."""
+    raise NotImplementedError(f"no {fmt!r} codec in this environment (stub by design)")

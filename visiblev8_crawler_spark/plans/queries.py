@@ -386,6 +386,39 @@ def tumbling_window_events(spark, sf_dir):
 
 
 @q(
+    "posexplode_tokens",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+    FROM t, unnest(generate_series(1, least(len(toks), 3))) AS u(i)
+    """,
+    "J6/X12/X14 + UDTF analog: positional zip of a list column (scripts/crawl.py:217-243 url/actions pairing) via posexplode; 1-based pos matches the reference's 1-based ids",
+)
+def posexplode_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return d.select(
+        "doc_id", F.posexplode(F.slice("toks", 1, 3)).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+
+@q(
+    "approx_distinct_sources",
+    None,  # HLL sketches differ across engines; bounded-error-checked in tests/test_queries_oracle.py
+    "approximate distinct cardinality (frontier-metrics tool at 10^10 scale where exact COUNT(DISTINCT) is a full shuffle); rows-only for the oracle gate, error-bound-tested in pytest",
+)
+def approx_distinct_sources(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .agg(
+            F.approx_count_distinct("source", 0.02).alias("approx_sources"),
+            F.approx_count_distinct("doc_id", 0.02).alias("approx_docs"),
+        )
+    )
+
+
+@q(
     "union_distinct_hosts",
     """
     SELECT source AS src, 'docs' AS via FROM documents WHERE n_chars > 400

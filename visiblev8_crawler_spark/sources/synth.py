@@ -50,13 +50,16 @@ def image_id_for(i: int) -> str:
     return f"img_{i:012d}"
 
 
-def image_row(i: int) -> dict:
+def image_row(i: int, sizes: tuple[int, ...] = IMAGE_SIZES) -> dict:
     """Pure function index -> images row (plus honest/expected-status extras
-    that are *not* written to the table — they exist only for test oracles)."""
+    that are *not* written to the table — they exist only for test oracles).
+    ``sizes`` scales per-image decode cost (the scaling bench uses larger
+    images so the job is compute-bound, the regime a 10^10-row crawl runs in).
+    """
     image_id = image_id_for(i)
     hv = _h("img:" + image_id)
-    w = IMAGE_SIZES[hv % len(IMAGE_SIZES)]
-    h = IMAGE_SIZES[(hv >> 8) % len(IMAGE_SIZES)]
+    w = sizes[hv % len(sizes)]
+    h = sizes[(hv >> 8) % len(sizes)]
     fmt = "png" if (hv >> 16) % 2 == 0 else "jpeg"
     bucket = (hv >> 24) % 1000
 
@@ -139,7 +142,10 @@ def frontier_row_basic(i: int, n_images: int, n_hosts: int) -> dict:
     return {"url": f"https://{host}/img/{image_id_for(img_i)}", "host": host}
 
 
-def robots_row(rank: int) -> dict:
+def robots_row(rank: int, budget_scale: int = 1) -> dict:
+    """``budget_scale`` multiplies per-host politeness budgets (the scaling
+    bench uses larger budgets so waves are few and large, the shape a
+    10^10-frontier campaign has; semantics are unchanged)."""
     host = f"host{rank}.site{rank % 97}.example"
     hv = _h("robots:" + host)
     blocked = hv % 100 < 2  # ~2% hosts fully blocked
@@ -151,7 +157,7 @@ def robots_row(rank: int) -> dict:
         "full_block": blocked,
         "disallow_prefixes": prefixes,
         "crawl_delay_s": float(1 + (hv >> 16) % 5),
-        "max_per_wave": 5 + (hv >> 24) % 46,
+        "max_per_wave": (5 + (hv >> 24) % 46) * budget_scale,
     }
 
 
@@ -172,8 +178,10 @@ IMAGES_PA_SCHEMA = pa.schema(
 )
 
 
-def generate_images_pdf(n: int, with_expected: bool = False) -> pd.DataFrame:
-    rows = [image_row(i) for i in range(n)]
+def generate_images_pdf(
+    n: int, with_expected: bool = False, sizes: tuple[int, ...] = IMAGE_SIZES
+) -> pd.DataFrame:
+    rows = [image_row(i, sizes) for i in range(n)]
     if not with_expected:
         for r in rows:
             r.pop("_expected_status")
@@ -184,8 +192,8 @@ def generate_frontier_pdf(n_urls: int, n_images: int, n_hosts: int) -> pd.DataFr
     return pd.DataFrame([frontier_row(i, n_images, n_hosts) for i in range(n_urls)])
 
 
-def generate_robots_pdf(n_hosts: int) -> pd.DataFrame:
-    return pd.DataFrame([robots_row(r) for r in range(n_hosts)])
+def generate_robots_pdf(n_hosts: int, budget_scale: int = 1) -> pd.DataFrame:
+    return pd.DataFrame([robots_row(r, budget_scale) for r in range(n_hosts)])
 
 
 def write_world(out_dir: str, n_images: int, n_urls: int, n_hosts: int) -> dict:
@@ -211,7 +219,9 @@ def write_world(out_dir: str, n_images: int, n_urls: int, n_hosts: int) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def generate_images_spark(spark, n: int, parallelism: int = 32):
+def generate_images_spark(
+    spark, n: int, parallelism: int = 32, sizes: tuple[int, ...] = IMAGE_SIZES
+):
     from pyspark.sql.types import (
         BinaryType,
         IntegerType,
@@ -235,7 +245,7 @@ def generate_images_spark(spark, n: int, parallelism: int = 32):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [image_row(int(i)) for i in b["id"]]
+            rows = [image_row(int(i), sizes) for i in b["id"]]
             for r in rows:
                 r.pop("_expected_status")
             yield pd.DataFrame(rows)

@@ -128,10 +128,35 @@ class CrawlConfig:
     default_budget: int = 25
     salt_width: int = 8
     max_waves: int = 10_000
+    # Arrow rows per batch for the fetch stage. Wave rows carry the full
+    # image ``bytes`` column, so the Spark default (10_000 rows/batch) builds
+    # multi-GB Arrow batches that stall the JVM->Python pipeline and churn
+    # both heaps; 64 rows keeps batches ~16 MB at 250 KB/row and the decode
+    # workers saturated (25k-row wave: 60 s -> 24 s at local[32], and larger
+    # batches degrade sharply — 256 rows measured 106 s).
+    arrow_batch_rows: int = 64
 
 
 def open_catalog(spark: SparkSession, root: str) -> ParquetCatalog:
     return ParquetCatalog(spark, root, TABLE_SCHEMAS)
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Spawn + warm one Python worker per core before the first wave (imports
+    of numpy/pandas/the verify kernel happen here, not inside wave 0). The
+    cluster analog is executor/container warmup; without it the first wave's
+    fetch pays ~N_cores × interpreter-start + import latency."""
+    n = spark.sparkContext.defaultParallelism
+
+    def _w(batches):
+        import time as _t
+
+        from visiblev8_crawler_spark import verify  # noqa: F401 (import cost)
+
+        _t.sleep(0.25)  # hold the slot so every core spawns its own worker
+        yield from batches
+
+    spark.range(n, numPartitions=n).mapInPandas(_w, "id long").count()
 
 
 def run_campaign(
@@ -165,6 +190,10 @@ def run_campaign(
             prepared=True,
         )
 
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev_arrow = spark.conf.get(arrow_key, None)
+    spark.conf.set(arrow_key, str(cfg.arrow_batch_rows))
+
     # derive once (resume point), then maintain incrementally in memory;
     # localCheckpoint materializes each generation and truncates lineage so
     # plan depth stays O(1) in waves (a persist-chain would preserve
@@ -176,12 +205,24 @@ def run_campaign(
     # ``retry_pool`` (tiny, bounded by one wave's failures) bypasses phase 1
     # inside select_wave.
     P = spark.sparkContext.defaultParallelism
-    pending = pending_df(cat, cfg.salt_width)
-    fresh = pending.filter(F.col("attempt") == 1).localCheckpoint(eager=True)
-    retry_pool = pending.filter(F.col("attempt") == 2).coalesce(P).localCheckpoint(eager=True)
+    _warm_python_workers(spark)
+    pending = pending_df(cat, cfg.salt_width).localCheckpoint(eager=True)
 
     wave_id = cat.watermark() + 1
+    try:
+        _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_id)
+    finally:
+        if prev_arrow is None:
+            spark.conf.unset(arrow_key)
+        else:
+            spark.conf.set(arrow_key, prev_arrow)
+    return cat
+
+
+def _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_id):
+    P = spark.sparkContext.defaultParallelism
     waves_done = 0
+    carry_s = 0.0  # previous wave's commit+update time, folded into this wall
     while wave_id < cfg.max_waves:
         if stop_after_waves is not None and waves_done >= stop_after_waves:
             break
@@ -191,13 +232,7 @@ def run_campaign(
         # the fetch UDF uses every core instead of one.
         selected = (
             select_wave(
-                fresh,
-                robots,
-                wave_id,
-                cfg.batch_size,
-                cfg.default_budget,
-                cfg.salt_width,
-                retries=retry_pool,
+                pending, robots, wave_id, cfg.batch_size, cfg.default_budget, cfg.salt_width
             )
             .repartition(P, "canon_url")
             .persist()
@@ -215,7 +250,7 @@ def run_campaign(
             results.unpersist()
             break
 
-        wall = time.perf_counter() - t0
+        wall = time.perf_counter() - t0 + carry_s
         # JVM-side 1-row relation: a python-list createDataFrame would drag a
         # 32-partition Python RDD through the worker pipeline (~5 s/write)
         metrics = schemas.conform(
@@ -232,6 +267,7 @@ def run_campaign(
         )
 
         # the atomic wave commit: appends only — nothing is rewritten
+        t_commit = time.perf_counter()
         cat.commit(
             f"wave={wave_id}",
             appends={"fetches": results, "metrics": metrics},
@@ -239,10 +275,10 @@ def run_campaign(
         )
 
         # incremental pending update (in-memory mirror of pending_df over the
-        # new snapshot): drop this wave's rows from both pools, add this
-        # wave's retryable failures as attempt 2. All joins broadcast the
-        # wave keys (<= batch_size rows) — the fresh pool keeps its
-        # (host, salt) partitioning through the anti-join.
+        # new snapshot): drop this wave's rows, add this wave's retryable
+        # failures back as attempt 2. Both joins broadcast the wave keys
+        # (<= batch_size rows); one localCheckpoint per wave materializes the
+        # new generation and truncates lineage.
         wave_keys = F.broadcast(selected.select("canon_url"))
         bad = results.filter(
             (F.col("attempt") == 1) & F.col("status").isin(*RETRYABLE)
@@ -253,18 +289,17 @@ def run_campaign(
             ),
             schemas.PENDING,
         )
-        fresh = fresh.join(wave_keys, "canon_url", "left_anti").localCheckpoint(eager=True)
-        retry_pool = (
-            retry_pool.join(wave_keys, "canon_url", "left_anti")
+        pending = (
+            pending.join(wave_keys, "canon_url", "left_anti")
             .unionByName(new_retries)
             .coalesce(P)
             .localCheckpoint(eager=True)
         )
         selected.unpersist()
         results.unpersist()
+        carry_s = time.perf_counter() - t_commit
         wave_id += 1
         waves_done += 1
-    return cat
 
 
 def add_seeds(
