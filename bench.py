@@ -29,12 +29,14 @@ HEADLINE = [
     "window_running_total",
     "tumbling_window_events",
     "json_props_agg",
+    "posexplode_tokens",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_docs",
     "embedding_cosine_topk",
     "embedding_lsh_topk",
+    "image_decode_dims",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget ~27) lets each

@@ -79,6 +79,31 @@ def test_campaign_exercises_failure_paths(sim):
     assert reasons == {"invalid", "duplicate", "robots"}
 
 
+def test_lineage_covers_every_fetch(sim, spark_run):
+    """Per-(wave, partition) lineage rows must roll up to exactly the fetch
+    ledger (north_rule: per-partition lineage + metrics)."""
+    lin = scheduler.lineage_df(spark_run).collect()
+    assert all(r["partition_id"] >= 0 for r in lin)
+    assert sum(r["n_rows"] for r in lin) == len(sim.fetches)
+    per_wave = {}
+    for r in lin:
+        per_wave[r["wave_id"]] = per_wave.get(r["wave_id"], 0) + r["n_rows"]
+    want = {m["wave_id"]: m["n_attempted"] for m in sim.metrics}
+    assert per_wave == want
+
+
+def test_fetch_status_query(sim, spark_run):
+    """§3.2 interactive status lookup: crawled url -> its attempts; rejected
+    url -> its disposition."""
+    ok_url = sim.fetches[0]["canon_url"]
+    rows = scheduler.fetch_status(spark_run, ok_url).collect()
+    assert rows and rows[0]["attempt"] >= 1 and rows[0]["status"] is not None
+
+    seq, raw_url, reason = sim.rejected[0]
+    rows = scheduler.fetch_status(spark_run, raw_url).collect()
+    assert any(r["status"] == f"REJECTED:{reason}" for r in rows)
+
+
 def test_salt_width_invariance(spark, world):
     """Salting is a pure physical-plan choice: selection identical at S=1/8/32."""
     from pyspark.sql import functions as F

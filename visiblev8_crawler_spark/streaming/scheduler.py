@@ -392,6 +392,42 @@ def add_seeds(
     return counts
 
 
+def fetch_status(cat: ParquetCatalog, url: str) -> DataFrame:
+    """The §3.2 interactive metadata query (`vv8cli fetch status <url>`,
+    scripts/fetch.py:78-112 + backend tasks.py:330-386) as one DataFrame:
+    every attempt's verdict for the URL, or its rejection disposition if it
+    never scheduled. The reference needed sqlite + HTTP + Postgres + Redis +
+    a GridFS glob; here Catalyst plans a filter over two tables."""
+    from ..functions.urls import canonicalize
+
+    canon = canonicalize(url)["canon_url"]
+    attempts = (
+        cat.read("fetches")
+        .filter(F.col("canon_url") == canon)
+        .select(
+            F.lit(canon).alias("canon_url"),
+            F.col("attempt"),
+            F.col("wave_id"),
+            F.col("status"),
+            F.col("psnr"),
+            F.col("error"),
+        )
+    )
+    rejected = (
+        cat.read("rejected")
+        .filter(F.col("url") == url)
+        .select(
+            F.lit(canon).alias("canon_url"),
+            F.lit(0).alias("attempt"),
+            F.lit(-1).alias("wave_id"),
+            F.concat(F.lit("REJECTED:"), F.col("reason")).alias("status"),
+            F.lit(0.0).alias("psnr"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+    return attempts.unionByName(rejected).orderBy("attempt")
+
+
 def crawl_order_df(cat: ParquetCatalog) -> DataFrame:
     """(canon_url, wave_id, order_in_wave) for first attempts — the golden
     crawl-order tuple compared against the simulator."""
