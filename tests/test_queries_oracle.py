@@ -3,13 +3,16 @@ query on Spark AND its SQL oracle on DuckDB over the same sf0.001 parquet,
 compare row count, column names, and order-insensitive values."""
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for speed; CI can sweep the driver's sf0.01 gate with
+#   VV8_ORACLE_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_queries_oracle.py
+SF_DIR = os.environ.get("VV8_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
