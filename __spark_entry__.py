@@ -21,6 +21,7 @@ def _registry():
     from visiblev8_crawler_spark.plans import (  # noqa: F401
         annops,
         imageops,
+        inference,
         queries,
         textops,
     )
