@@ -161,6 +161,46 @@ def robots_row(rank: int, budget_scale: int = 1) -> dict:
     }
 
 
+def candidates_doc(i: int, n_images: int, n_hosts: int) -> dict:
+    """Pure function index -> candidates JSONL document (FIXTURES.md §4;
+    eval_banks.py input shape). Every ~7th doc has zero candidates (the
+    'No candidates found' golden); duplicate URLs within a doc exercise the
+    CRAWLING-preference dedup (eval_banks.py:46-57)."""
+    hv = _h(f"cand:{i}")
+    domain = host_for(i, n_hosts)
+    cands = []
+    if i % 7 != 3:
+        n = 1 + hv % 4
+        for k in range(n):
+            hvk = _h(f"cand:{i}:{k}")
+            url = f"https://{domain}/img/{image_id_for(hvk % n_images)}"
+            if k > 0 and hvk % 3 == 0:
+                url = cands[0]["login_page_candidate"]  # duplicate of first
+            cands.append(
+                {
+                    "login_page_candidate": url,
+                    "login_page_strategy": "CRAWLING" if hvk % 5 == 0 else "OTHER",
+                    "login_page_actions": (["click", f"#b{hvk % 9}"] if hvk % 2 else None),
+                }
+            )
+    return {
+        "domain": domain,
+        "scan_config": {"domain": domain} if hv % 2 else {},
+        "task_config": {"task_id": f"task-{i}"},
+        "landscape_analysis_result": {"login_page_candidates": cands},
+    }
+
+
+def write_candidates_jsonl(path: str, n_docs: int, n_images: int, n_hosts: int) -> str:
+    import json
+
+    with open(path, "w") as f:
+        for i in range(n_docs):
+            f.write(json.dumps(candidates_doc(i, n_images, n_hosts)) + "\n")
+        f.write("{not json\n")  # malformed line: PERMISSIVE scan must skip it
+    return path
+
+
 # ---------------------------------------------------------------------------
 # pandas / parquet materialization (test scale)
 # ---------------------------------------------------------------------------
