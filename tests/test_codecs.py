@@ -51,5 +51,19 @@ def test_verify_matches_expected_statuses():
     assert {"OK", "DECODE_ERROR"} <= seen  # corpus exercises failures
 
 
+def test_verify_timeout_budget():
+    from visiblev8_crawler_spark.sources import synth
+    from visiblev8_crawler_spark.verify import verify_image_row
+
+    r = next(synth.image_row(i) for i in range(50) if synth.image_row(i)["_expected_status"] == "OK")
+    args = (r["image_id"], r["bytes"], r["w"], r["h"], r["fmt"], r["caption"], r["phash"])
+    assert verify_image_row(*args, timeout_ms=1e9).status == verify_image_row(*args).status
+    v = verify_image_row(*args, timeout_ms=0.0)
+    assert v.status == "TIMEOUT" and "budget" in v.error
+    from visiblev8_crawler_spark.simulator import RETRYABLE
+
+    assert "TIMEOUT" in RETRYABLE  # retry-once applies, like any failed fetch
+
+
 def test_verify_not_found():
     assert verify_image_row("img_x", None, None, None, None, None, None).status == "NOT_FOUND"

@@ -129,6 +129,54 @@ def test_salt_width_invariance(spark, world):
         assert got == base
 
 
+def test_extreme_hot_host_skew(spark, world, tmp_path_factory):
+    """north_rule skew case: one host owns ~70% of the frontier (far beyond
+    the Zipf head). Selection and ordering must still match the sequential
+    simulator exactly, and the hot host must never exceed its per-wave
+    budget."""
+    hot, cold = "mega.hot.example", ["c%d.example" % i for i in range(6)]
+    rows = []
+    for i in range(800):
+        host = hot if i % 10 < 7 else cold[i % len(cold)]
+        rows.append(
+            {"seq": i + 1, "url": f"https://{host}/img/img_{i % 250:012d}",
+             "host": host, "priority": 1 if i % 97 == 0 else 0, "task_id": "skew"}
+        )
+    robots_rows = [
+        {"host": hot, "full_block": False, "disallow_prefixes": [],
+         "crawl_delay_s": 1.0, "max_per_wave": 7}
+    ]
+    robots_by_host = {r["host"]: r for r in robots_rows}
+
+    sim = simulator.simulate_campaign(
+        rows, robots_by_host, world["images_by_id"], batch_size=120
+    )
+    frontier = spark.createDataFrame(rows)
+    robots = spark.createDataFrame(
+        robots_rows, "host string, full_block boolean, disallow_prefixes array<string>, "
+        "crawl_delay_s double, max_per_wave int"
+    )
+    images = spark.read.parquet(world["paths"]["images"])
+    cat = scheduler.run_campaign(
+        spark, str(tmp_path_factory.mktemp("cat_skew")), frontier, robots, images,
+        CrawlConfig(batch_size=120),
+    )
+    got = {
+        (r["canon_url"], r["wave_id"], r["order_in_wave"])
+        for r in scheduler.crawl_order_df(cat).collect()
+    }
+    assert got == set(sim.crawl_order)
+
+    per_wave_hot = (
+        cat.read("fetches")
+        .filter((F.col("host") == hot) & (F.col("attempt") == 1))
+        .groupBy("wave_id")
+        .count()
+        .collect()
+    )
+    assert per_wave_hot and all(r["count"] <= 7 for r in per_wave_hot)
+
+
 def test_kill_resume_identical(spark, world, spark_run, tmp_path_factory):
     """Stop after one wave (kill analog), resume with a fresh call: final
     tables byte-equal to the uninterrupted campaign."""

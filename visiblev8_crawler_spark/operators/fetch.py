@@ -31,8 +31,14 @@ from ..verify import verify_image_row
 
 _OUT_COLS = [f.name for f in schemas.FETCHES.fields]
 
+# per-fetch decode budget (vv8_worker/tasks.py:131-141 hard-timeout analog);
+# None disables. Module-level so the kernel closure ships it to executors.
+DEFAULT_TIMEOUT_MS: float | None = None
 
-def _verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def _verify_batches(
+    batches: Iterator[pd.DataFrame], timeout_ms: float | None = None
+) -> Iterator[pd.DataFrame]:
     for b in batches:
         assert b["phash"].dtype == "int64", f"phash must stay int64, got {b['phash'].dtype}"
         out = {c: [] for c in ("status", "psnr", "caption_ok", "phash_ok", "decode_ms", "error")}
@@ -47,6 +53,7 @@ def _verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 fmt if isinstance(fmt, str) else None,
                 caption if isinstance(caption, str) else None,
                 int(phash),
+                timeout_ms=timeout_ms,
             )
             out["status"].append(v.status)
             out["psnr"].append(min(v.psnr, 1e9))  # keep inf out of parquet stats
@@ -71,7 +78,9 @@ def _verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield res[_OUT_COLS]
 
 
-def fetch_verify(wave: DataFrame, images: DataFrame) -> DataFrame:
+def fetch_verify(
+    wave: DataFrame, images: DataFrame, timeout_ms: float | None = DEFAULT_TIMEOUT_MS
+) -> DataFrame:
     """wave (<= batch_size rows, from select_wave) ⋈ images -> FETCHES rows.
 
     Left join: a url whose image_id has no row (or no image_id at all) comes
@@ -115,4 +124,7 @@ def fetch_verify(wave: DataFrame, images: DataFrame) -> DataFrame:
         F.coalesce(F.col("i.phash"), F.lit(0).cast("long")).alias("phash"),
         F.spark_partition_id().alias("partition_id"),
     )
-    return joined.mapInPandas(_verify_batches, schemas.FETCHES)
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _verify_batches(batches, timeout_ms)
+
+    return joined.mapInPandas(kernel, schemas.FETCHES)

@@ -34,7 +34,7 @@ from .functions.urls import canonicalize, image_id_from_path
 from .verify import verify_image_row
 
 DEFAULT_MAX_PER_WAVE = 25
-RETRYABLE = ("NOT_FOUND", "DECODE_ERROR", "DIM_MISMATCH", "LOW_PSNR",
+RETRYABLE = ("NOT_FOUND", "DECODE_ERROR", "TIMEOUT", "DIM_MISMATCH", "LOW_PSNR",
              "CAPTION_MISMATCH", "PHASH_MISMATCH")
 
 
@@ -64,6 +64,7 @@ def simulate_campaign(
     batch_size: int = 1000,
     default_budget: int = DEFAULT_MAX_PER_WAVE,
     max_waves: int = 10_000,
+    fetch_timeout_ms: float | None = None,
 ) -> SimResult:
     """frontier_rows: dicts with seq/url/priority. robots: host -> robots row.
     images: image_id -> images row (bytes/w/h/fmt/caption/phash)."""
@@ -120,6 +121,7 @@ def simulate_campaign(
                 img["fmt"] if img else None,
                 img["caption"] if img else None,
                 img["phash"] if img else None,
+                timeout_ms=fetch_timeout_ms,
             )
             res.fetches.append(
                 {

@@ -135,6 +135,9 @@ class CrawlConfig:
     # workers saturated (25k-row wave: 60 s -> 24 s at local[32], and larger
     # batches degrade sharply — 256 rows measured 106 s).
     arrow_batch_rows: int = 64
+    # per-fetch decode budget in ms (reference hard timeout, vv8_worker/
+    # tasks.py:131-141); None = no budget. TIMEOUT rows are retryable.
+    fetch_timeout_ms: float | None = None
 
 
 def open_catalog(spark: SparkSession, root: str) -> ParquetCatalog:
@@ -239,7 +242,7 @@ def _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_
         )
         # no separate emptiness check: the one aggregate below both counts
         # the wave and detects termination (one Spark job instead of two)
-        results = fetch_verify(selected, images).persist()
+        results = fetch_verify(selected, images, cfg.fetch_timeout_ms).persist()
         agg = results.agg(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("status") == "OK", 1).otherwise(0)).alias("ok"),

@@ -9,6 +9,11 @@ result" is a scheduling-equality test, not a kernel-equality test.
 Statuses (ordered: first failing check wins):
   NOT_FOUND        url's image_id has no row in the images table
   DECODE_ERROR     bytes don't decode (truncation analog of a failed crawl)
+  TIMEOUT          decode exceeded the per-fetch budget (vv8_worker
+                   tasks.py:131-141 hard-timeout analog; Spark has no
+                   per-row preemption, so the budget is checked against the
+                   measured decode wall — a slow row is *marked*, not killed,
+                   which is the correct semantics for a pure kernel)
   DIM_MISMATCH     decoded (h,w) != declared (h,w)
   LOW_PSNR         decoded pixels vs reference pixels < 40 dB (lossy) / != (png)
   CAPTION_MISMATCH caption column != deterministic reference caption
@@ -42,6 +47,7 @@ def verify_image_row(
     fmt: str | None,
     caption: str | None,
     phash: int | None,
+    timeout_ms: float | None = None,
 ) -> VerifyResult:
     if data is None:
         return VerifyResult("NOT_FOUND", 0.0, False, False, 0.0, "no image row")
@@ -52,6 +58,10 @@ def verify_image_row(
         ms = (time.perf_counter() - t0) * 1000.0
         return VerifyResult("DECODE_ERROR", 0.0, False, False, ms, str(exc)[:200])
     ms = (time.perf_counter() - t0) * 1000.0
+    if timeout_ms is not None and ms > timeout_ms:
+        return VerifyResult(
+            "TIMEOUT", 0.0, False, False, ms, f"decode {ms:.1f} ms > budget {timeout_ms} ms"
+        )
     if decoded.shape[0] != h or decoded.shape[1] != w:
         return VerifyResult(
             "DIM_MISMATCH", 0.0, False, False, ms, f"decoded {decoded.shape[:2]} != ({h},{w})"
