@@ -386,6 +386,22 @@ def tumbling_window_events(spark, sf_dir):
 
 
 @q(
+    "sql_api_status_revenue",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "the spark.sql() text surface (README.md:161-166 shows the reference's users write raw SQL): temp view + SQL string, same Catalyst plan as the DataFrame form",
+)
+def sql_api_status_revenue(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue "
+        "FROM orders_v GROUP BY o_orderstatus"
+    )
+
+
+@q(
     "posexplode_tokens",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

@@ -1,0 +1,73 @@
+"""Watermarked windowed aggregation over an event stream — the Structured
+Streaming form of the engine's wave/metrics rollups.
+
+Reference parity: the reference's only "streaming" aggregation is campaign
+counters accumulated per wave (url_sender.py:242-257, 279-303) over a
+time-gated batch loop. The Spark-native generalization is an event-time
+tumbling window with a watermark bounding lateness:
+
+    readStream(events) -> withWatermark(ts) -> groupBy(window(ts), type)
+      -> count/sum -> sink
+
+Late rows inside the watermark update their window; rows later than the
+watermark are dropped — the exact semantics a fetch-metrics stream needs when
+executor clocks skew (a worker reporting a fetch 10 minutes late must not
+reopen a closed wave's accounting).
+
+Determinism note: with Trigger.AvailableNow over a static directory the
+result equals the batch groupBy over the same files (tested in
+tests/test_stream_windows.py) — which is Structured Streaming's core
+contract (incrementalized batch query), and why the wave scheduler can be
+reasoned about as plain DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """The aggregation itself — shared by the streaming and batch plans so
+    the equivalence test compares the same logical query."""
+    # the testdata's ts is TIMESTAMP_NTZ; watermarks require instant-typed
+    # timestamps, and the cast is identical in the batch twin
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+    width: str = "1 hour",
+):
+    """File-stream the events table, aggregate per (tumbling window, type)
+    with a watermark, emit to an in-memory sink (swap for a table sink in
+    production). Returns the StreamingQuery; results under view name
+    'windowed_events'."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_event_counts(stream.withWatermark("ts", watermark), width)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("windowed_events")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
