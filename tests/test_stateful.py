@@ -1,0 +1,62 @@
+"""applyInPandasWithState per-host accounting (streaming/stateful.py):
+state must accumulate ACROSS micro-batches (forced with maxFilesPerTrigger=1)
+and the final per-host totals must equal the batch aggregation."""
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from visiblev8_crawler_spark.streaming.stateful import host_state_stream
+
+
+def test_host_state_accumulates_across_batches(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("fetch_events"))
+    ckpt = str(tmp_path_factory.mktemp("state_ck"))
+    rows1 = pd.DataFrame(
+        {"host": ["a", "a", "b"], "status": ["OK", "LOW_PSNR", "OK"]}
+    )
+    rows2 = pd.DataFrame(
+        {"host": ["a", "b", "b", "c"], "status": ["OK", "OK", "NOT_FOUND", "OK"]}
+    )
+    rows1.to_parquet(os.path.join(src, "batch1.parquet"))
+    rows2.to_parquet(os.path.join(src, "batch2.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        host_state_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("host_state")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # cumulative counters are monotone: the max per host is the final state
+    final = {
+        r["host"]: (r["n_fetched"], r["n_ok"])
+        for r in spark.sql(
+            "SELECT host, MAX(n_fetched) AS n_fetched, MAX(n_ok) AS n_ok "
+            "FROM host_state GROUP BY host"
+        ).collect()
+    }
+    want = {
+        r["host"]: (r["n"], r["ok"])
+        for r in spark.read.parquet(src)
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("status") == "OK", 1).otherwise(0)).alias("ok"),
+        )
+        .collect()
+    }
+    assert final == want
+    # state really crossed batches: host 'a' appears in both files
+    assert final["a"] == (3, 2)
+    n_updates_a = spark.sql("SELECT COUNT(*) FROM host_state WHERE host='a'").collect()[0][0]
+    assert n_updates_a >= 2, "expected one update per micro-batch for host a"
