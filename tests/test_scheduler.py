@@ -129,6 +129,35 @@ def test_salt_width_invariance(spark, world):
         assert got == base
 
 
+def test_auto_salt_width(spark, world, tmp_path_factory):
+    """salt_width=None derives the width from the host histogram and the
+    campaign still reproduces the simulator exactly (width is physical-only)."""
+    from visiblev8_crawler_spark.operators.waves import choose_salt_width
+
+    hot = spark.createDataFrame(
+        [(f"u{i}", "hot.example" if i < 120_000 else f"h{i}.example") for i in range(120_050)],
+        "canon_url string, host string",
+    )
+    assert choose_salt_width(hot) == 3  # ceil(120000 / 50000)
+
+    sim = simulator.simulate_campaign(
+        world["frontier_rows"], world["robots_by_host"], world["images_by_id"], batch_size=BATCH
+    )
+    cat = scheduler.run_campaign(
+        spark,
+        str(tmp_path_factory.mktemp("cat_auto")),
+        spark.read.parquet(world["paths"]["frontier"]),
+        spark.read.parquet(world["paths"]["robots"]),
+        spark.read.parquet(world["paths"]["images"]),
+        CrawlConfig(batch_size=BATCH, salt_width=None),
+    )
+    got = {
+        (r["canon_url"], r["wave_id"], r["order_in_wave"])
+        for r in scheduler.crawl_order_df(cat).collect()
+    }
+    assert got == set(sim.crawl_order)
+
+
 def test_extreme_hot_host_skew(spark, world, tmp_path_factory):
     """north_rule skew case: one host owns ~70% of the frontier (far beyond
     the Zipf head). Selection and ordering must still match the sequential

@@ -48,6 +48,24 @@ def salt_col(canon_url: Column, salt_width: int) -> Column:
     return F.pmod(F.xxhash64(canon_url, F.lit(SALT_SEED)), F.lit(salt_width)).cast("int")
 
 
+# target upper bound for one (host, salt) window partition's row count; a
+# hotter host gets proportionally more salts (SURVEY §4.2: salt width chosen
+# from the host histogram)
+ROWS_PER_SALT = 50_000
+
+
+def choose_salt_width(pending: DataFrame) -> int:
+    """Pick the salt width from the pending pool's host histogram: enough
+    salts that even the hottest host's rows split into ~ROWS_PER_SALT-row
+    window partitions. Selection output is salt-width-invariant (see module
+    docstring), so this is a purely physical choice — computed once per
+    campaign (the histogram only shrinks as the pool drains)."""
+    hottest = (
+        pending.groupBy("host").count().agg(F.max("count")).collect()[0][0] or 0
+    )
+    return max(1, min(256, -(-int(hottest) // ROWS_PER_SALT)))
+
+
 def with_host_budget(pending: DataFrame, robots: DataFrame, default_budget: int) -> DataFrame:
     """Left-broadcast-join the robots politeness dimension (small: one row per
     host) onto pending; unknown hosts get the default budget."""
@@ -72,8 +90,10 @@ def select_wave(
 
     cand = with_host_budget(pending, robots, default_budget)
     if salt_width > 1:
-        # phase 1: bound each host to <= salt_width*cap survivors. Runs on
-        # the stored (host, salt) partitioning — no exchange, only a sort.
+        # phase 1: bound each host to <= salt_width*cap survivors. One hash
+        # exchange on (host, salt) — the salt splits a hot host across
+        # partitions; an Iceberg pool bucketed on these keys reads
+        # pre-clustered and skips the exchange entirely.
         w1 = Window.partitionBy("host", "salt").orderBy(*order)
         cand = cand.withColumn("_r1", F.row_number().over(w1)).filter(
             F.col("_r1") <= F.col("host_budget")

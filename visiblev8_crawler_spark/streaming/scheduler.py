@@ -52,7 +52,7 @@ from .. import schemas
 from ..catalog import ParquetCatalog
 from ..operators.dedup import prepare_frontier
 from ..operators.fetch import fetch_verify
-from ..operators.waves import salt_col, select_wave
+from ..operators.waves import choose_salt_width, salt_col, select_wave
 from ..simulator import RETRYABLE
 
 TABLE_SCHEMAS = {
@@ -126,7 +126,8 @@ def pending_df(cat: ParquetCatalog, salt_width: int = 8) -> DataFrame:
 class CrawlConfig:
     batch_size: int = 1000
     default_budget: int = 25
-    salt_width: int = 8
+    # None -> choose from the pool's host histogram (waves.choose_salt_width)
+    salt_width: int | None = 8
     max_waves: int = 10_000
     # Arrow rows per batch for the fetch stage. Wave rows carry the full
     # image ``bytes`` column, so the Spark default (10_000 rows/batch) builds
@@ -209,11 +210,16 @@ def run_campaign(
     # inside select_wave.
     P = spark.sparkContext.defaultParallelism
     _warm_python_workers(spark)
-    pending = pending_df(cat, cfg.salt_width).localCheckpoint(eager=True)
+    salt_width = (
+        cfg.salt_width if cfg.salt_width is not None else choose_salt_width(pool_df(cat))
+    )
+    pending = pending_df(cat, salt_width).localCheckpoint(eager=True)
 
     wave_id = cat.watermark() + 1
     try:
-        _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_id)
+        _wave_loop(
+            spark, cat, robots, images, cfg, stop_after_waves, pending, wave_id, salt_width
+        )
     finally:
         if prev_arrow is None:
             spark.conf.unset(arrow_key)
@@ -222,7 +228,7 @@ def run_campaign(
     return cat
 
 
-def _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_id):
+def _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_id, salt_width):
     P = spark.sparkContext.defaultParallelism
     waves_done = 0
     carry_s = 0.0  # previous wave's commit+update time, folded into this wall
@@ -235,7 +241,7 @@ def _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_
         # the fetch UDF uses every core instead of one.
         selected = (
             select_wave(
-                pending, robots, wave_id, cfg.batch_size, cfg.default_budget, cfg.salt_width
+                pending, robots, wave_id, cfg.batch_size, cfg.default_budget, salt_width
             )
             .repartition(P, "canon_url")
             .persist()
