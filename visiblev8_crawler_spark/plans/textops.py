@@ -158,6 +158,74 @@ def doc_lang_id(spark, sf_dir):
     )
 
 
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@q(
+    "doc_token_count_bpe",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens
+    FROM documents
+    """,
+    "token counting, BPE-ish: alpha runs / digit runs / single punctuation as separate tokens (regexp_extract_all, JVM-side) next to the whitespace count",
+)
+def doc_token_count_bpe(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
+    )
+
+
+@q(
+    "doc_winnow_fp",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE len(string_split(text, ' ')) >= 6),
+    h AS (SELECT doc_id,
+                 list_transform(generate_series(1, len(toks) - 2),
+                                i -> md5(array_to_string(toks[i:i+2], ' '))) AS hs
+          FROM t),
+    w AS (SELECT doc_id,
+                 list_sort(list_distinct(
+                     list_transform(generate_series(1, len(hs) - 3),
+                                    i -> list_min(hs[i:i+3])))) AS mins
+          FROM h)
+    SELECT doc_id, len(mins) AS n_fingerprints,
+           md5(array_to_string(mins, '|')) AS winnow_fp
+    FROM w
+    """,
+    "document fingerprinting by winnowing: rolling 3-gram hashes -> per-4-window minimum -> distinct selected hashes -> digest; robust to local edits, the near-dup fingerprint MOSS uses",
+)
+def doc_winnow_fp(spark, sf_dir):
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 6)
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, 3))),
+    )
+    h = d.select("doc_id", hs.alias("hs"))
+    mins = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - 3),
+                lambda i: F.array_min(F.slice("hs", i, 4)),
+            )
+        )
+    )
+    return h.select(
+        "doc_id",
+        F.size(mins).alias("n_fingerprints"),
+        F.md5(F.concat_ws("|", mins)).alias("winnow_fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles -> minhash -> LSH -> jaccard
 # ---------------------------------------------------------------------------
