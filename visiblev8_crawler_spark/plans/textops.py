@@ -158,6 +158,73 @@ def doc_lang_id(spark, sf_dir):
     )
 
 
+# char-bigram profiles for the n-gram language-ID heuristic (the classic
+# Cavnar-Trenkle shape, profile size trimmed to stay oracle-mirrorable)
+_LANG_PROFILES = {
+    "en-like": ("th", "he", "er"),
+    "data-like": ("da", "ta", "se"),
+    "query-like": ("qu", "ry", "el"),
+}
+
+
+def _occ_sql(sub: str) -> str:
+    return f"CAST((len(text) - len(replace(text, '{sub}', ''))) / 2 AS BIGINT)"
+
+
+@q(
+    "doc_lang_id_ngram",
+    f"""
+    WITH s AS (SELECT doc_id,
+        {" + ".join(_occ_sql(b) for b in _LANG_PROFILES["en-like"])} AS sc_en,
+        {" + ".join(_occ_sql(b) for b in _LANG_PROFILES["data-like"])} AS sc_data,
+        {" + ".join(_occ_sql(b) for b in _LANG_PROFILES["query-like"])} AS sc_query
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN sc_en >= sc_data AND sc_en >= sc_query THEN 'en-like'
+                WHEN sc_data >= sc_query THEN 'data-like'
+                ELSE 'query-like' END AS predicted,
+           sc_en, sc_data, sc_query
+    FROM s
+    """,
+    "language-ID by character-bigram profile scoring (Cavnar-Trenkle n-gram heuristic): occurrence counts via length-difference, argmax with deterministic tiebreak; all JVM-side string ops",
+)
+def doc_lang_id_ngram(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+
+    def occ(sub):
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(sub), F.lit(""))))
+            / 2
+        ).cast("long")
+
+    def score(lang):
+        bigrams = _LANG_PROFILES[lang]
+        total = occ(bigrams[0])
+        for b in bigrams[1:]:
+            total = total + occ(b)
+        return total
+
+    s = d.select(
+        "doc_id",
+        score("en-like").alias("sc_en"),
+        score("data-like").alias("sc_data"),
+        score("query-like").alias("sc_query"),
+    )
+    return s.select(
+        "doc_id",
+        F.when(
+            (F.col("sc_en") >= F.col("sc_data")) & (F.col("sc_en") >= F.col("sc_query")),
+            "en-like",
+        )
+        .when(F.col("sc_data") >= F.col("sc_query"), "data-like")
+        .otherwise("query-like")
+        .alias("predicted"),
+        "sc_en",
+        "sc_data",
+        "sc_query",
+    )
+
+
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
