@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--parallelism", type=int, default=32)
     ap.add_argument("--budget-scale", type=int, default=1)
     ap.add_argument(
+        "--frontier-file",
+        default=None,
+        help="crawl a newline-delimited URL seed file (url_sender.py:52-79 "
+        "S1 path) instead of the synthetic frontier",
+    )
+    ap.add_argument(
         "--image-sizes",
         default="16,24,32",
         help="comma-separated side lengths for the synthetic images; larger "
@@ -66,7 +72,12 @@ def main() -> None:
             synth.generate_robots_pdf(args.hosts, args.budget_scale)
         ).write.mode("overwrite").parquet(os.path.join(world, "robots.parquet"))
 
-    frontier = spark.read.parquet(os.path.join(world, "frontier.parquet"))
+    if args.frontier_file:
+        from visiblev8_crawler_spark.sources.seeds import frontier_from_text
+
+        frontier = frontier_from_text(spark, args.frontier_file)
+    else:
+        frontier = spark.read.parquet(os.path.join(world, "frontier.parquet"))
     robots = spark.read.parquet(os.path.join(world, "robots.parquet"))
     images = spark.read.parquet(os.path.join(world, "images.parquet"))
 
