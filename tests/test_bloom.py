@@ -44,6 +44,45 @@ def test_bloom_spark_build_probe(spark):
     assert sum(fp) / len(fp) < 0.05, f"fp rate {sum(fp)/len(fp)} too high for fpp=0.01"
 
 
+def test_sharded_bloom_equivalent(spark):
+    """Sharding is purely operational: no false negatives, and the
+    bloom-prefiltered anti-join result is identical to the single-bitmap and
+    plain-exact paths."""
+    members = [f"https://s{i % 31}.example/p/{i}" for i in range(4000)]
+    others = [f"https://s{i % 31}.example/p/{i}" for i in range(4000, 8000)]
+    sharded = B.build_bloom(_urls_df(spark, members), fpp=0.01, shards=4)
+    assert isinstance(sharded, B.ShardedBloom) and len(sharded.shards) == 4
+
+    got = B.with_bloom_maybe(_urls_df(spark, members), sharded).collect()
+    assert all(r["maybe_seen"] for r in got), "sharded bloom false negative"
+    fp = [r["maybe_seen"] for r in B.with_bloom_maybe(_urls_df(spark, others), sharded).collect()]
+    assert sum(fp) / len(fp) < 0.05
+
+    cand = _urls_df(spark, members[:2000] + others[:2000])
+    seen = _urls_df(spark, members)
+    via_shards = {
+        r["canon_url"] for r in B.seen_anti_join(cand, seen, bloom=sharded).collect()
+    }
+    exact = {r["canon_url"] for r in cand.join(seen, "canon_url", "left_anti").collect()}
+    assert via_shards == exact == set(others[:2000])
+
+
+def test_catalog_compaction(spark, tmp_path_factory):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from visiblev8_crawler_spark.catalog import ParquetCatalog
+
+    T = StructType([StructField("v", LongType())])
+    cat = ParquetCatalog(spark, str(tmp_path_factory.mktemp("cmp")), {"t": T})
+    for i in range(3):
+        cat.commit(f"a{i}", appends={"t": spark.createDataFrame([(i,)], T)})
+    assert cat.file_sets("t") == 3
+    assert cat.compact("t") is True
+    assert cat.file_sets("t") == 1
+    assert {r["v"] for r in cat.read("t").collect()} == {0, 1, 2}
+    assert cat.compact("t") is False  # already compact
+
+
 def test_seen_anti_join_equals_exact(spark):
     cand = _urls_df(spark, [f"u://c/{i}" for i in range(2000)])
     seen = _urls_df(spark, [f"u://c/{i}" for i in range(1000, 2500)])

@@ -62,6 +62,18 @@ class ParquetCatalog:
         deterministic commit tags for incremental appends)."""
         return len(self._load_manifest()["tables"].get(name, []))
 
+    def compact(self, name: str, min_file_sets: int = 2) -> bool:
+        """Rewrite a table's accumulated append sets into one (Iceberg
+        rewrite_data_files analog). A long campaign appends one fetches set
+        per wave; thousands of waves mean thousands of directories per read —
+        compaction folds them into one atomically (readers see either the old
+        sets or the single new one, never both). Returns True if it ran."""
+        if self.file_sets(name) < min_file_sets:
+            return False
+        snapshot = self.read(name)
+        self.commit(f"compact-{self.file_sets(name)}", replaces={name: snapshot})
+        return True
+
     # -- reads -------------------------------------------------------------
     def read(self, name: str) -> DataFrame:
         paths = self._load_manifest()["tables"].get(name, [])

@@ -42,7 +42,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, BooleanType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 _H2_SALT = "vv8-bloom-h2"  # second independent hash: xxhash64(key, salt)
 
@@ -96,50 +102,101 @@ class BloomFilter:
         return out
 
 
+def _shard_of(h1: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard selector from h1's HIGH bits. Positions inside a bitmap are
+    h1-mod-m (low bits); sharding on low bits too would make every member of
+    a shard agree on h1 mod gcd(n_shards, m) and collapse the first probe
+    onto a fraction of the bitmap (measured: 6x the configured fpp)."""
+    return (h1 >> np.uint64(33)) % np.uint64(n_shards)
+
+
+class ShardedBloom:
+    """Key-space-sharded Bloom: shard = high-bits(h1) % n_shards, each shard its own
+    bitmap. Same probe semantics as BloomFilter; the point is operational —
+    at 10^10 seen URLs one bitmap is ~12 GB (past broadcast range), while
+    shards broadcast/refresh independently and can live on different
+    executors. Sharding never changes the verdict: every key probes exactly
+    the shard it was added to."""
+
+    def __init__(self, shards: list[BloomFilter]):
+        assert shards
+        self.shards = shards
+
+    def maybe_contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(h1), dtype=bool)
+        sid = _shard_of(h1, len(self.shards))
+        for i, bf in enumerate(self.shards):
+            m = sid == np.uint64(i)
+            if m.any():
+                out[m] = bf.maybe_contains(h1[m], h2[m])
+        return out
+
+
 def build_bloom(
-    df: DataFrame, col: str = "canon_url", capacity: int | None = None, fpp: float = 0.01
-) -> BloomFilter:
-    """Distributed build: each partition sets bits into its own bitmap
-    (mapInPandas, one binary row out per partition), the driver ORs them.
-    One pass over ``df``, no shuffle; the only driver traffic is
-    P × (n_bits/8) bytes of bitmaps."""
+    df: DataFrame,
+    col: str = "canon_url",
+    capacity: int | None = None,
+    fpp: float = 0.01,
+    shards: int = 1,
+) -> BloomFilter | ShardedBloom:
+    """Distributed build: each partition sets bits into its own (per-shard)
+    bitmaps (mapInPandas, one binary row per shard per partition), the driver
+    ORs them per shard. One pass over ``df``, no shuffle; the only driver
+    traffic is P × shards × (n_bits/8) bytes of bitmaps."""
     if capacity is None:
         capacity = df.count()
-    n_bits, n_hashes = BloomFilter.params_for(capacity, fpp)
+    n_bits, n_hashes = BloomFilter.params_for(max(capacity // shards, 1), fpp)
 
     hashed = df.select(*_hash_cols(col))
-    out_schema = StructType([StructField("bits", BinaryType())])
+    out_schema = StructType(
+        [StructField("shard", IntegerType()), StructField("bits", BinaryType())]
+    )
 
     def per_partition(batches):
-        part = BloomFilter(n_bits, n_hashes, np.zeros(n_bits // 8, dtype=np.uint8))
-        empty = True
+        parts = [
+            BloomFilter(n_bits, n_hashes, np.zeros(n_bits // 8, dtype=np.uint8))
+            for _ in range(shards)
+        ]
+        touched = [False] * shards
         for b in batches:
-            if len(b):
-                empty = False
-                part.add_hashes(_to_u64(b["_bh1"]), _to_u64(b["_bh2"]))
-        if not empty:
-            yield pd.DataFrame({"bits": [part.bits.tobytes()]})
+            if not len(b):
+                continue
+            h1, h2 = _to_u64(b["_bh1"]), _to_u64(b["_bh2"])
+            sid = _shard_of(h1, shards)
+            for i in range(shards):
+                m = sid == np.uint64(i)
+                if m.any():
+                    parts[i].add_hashes(h1[m], h2[m])
+                    touched[i] = True
+        for i in range(shards):
+            if touched[i]:
+                yield pd.DataFrame({"shard": [i], "bits": [parts[i].bits.tobytes()]})
 
-    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    bits = [np.zeros(n_bits // 8, dtype=np.uint8) for _ in range(shards)]
     for row in hashed.mapInPandas(per_partition, out_schema).collect():
-        bits |= np.frombuffer(row["bits"], dtype=np.uint8)
-    return BloomFilter(n_bits, n_hashes, bits)
+        bits[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint8)
+    if shards == 1:
+        return BloomFilter(n_bits, n_hashes, bits[0])
+    return ShardedBloom([BloomFilter(n_bits, n_hashes, b) for b in bits])
 
 
 def with_bloom_maybe(
-    df: DataFrame, bloom: BloomFilter, col: str = "canon_url", out: str = "maybe_seen"
+    df: DataFrame,
+    bloom: BloomFilter | ShardedBloom,
+    col: str = "canon_url",
+    out: str = "maybe_seen",
 ) -> DataFrame:
     """Add a boolean ``out`` column: bloom verdict for ``col``. The UDF sees
     only the two int64 hash columns (JVM-computed), so the Arrow transfer is
-    16 bytes/row regardless of URL length."""
+    16 bytes/row regardless of URL length. Works for single or sharded
+    filters (both are broadcast; at true 10^10 scale the sharded form is
+    what keeps each broadcast block executor-sized)."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((bloom.n_bits, bloom.n_hashes, bloom.bits.tobytes()))
+    bc = spark.sparkContext.broadcast(bloom)
 
     @F.pandas_udf(BooleanType())
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        n_bits, n_hashes, raw = bc.value
-        bf = BloomFilter(n_bits, n_hashes, np.frombuffer(raw, dtype=np.uint8).copy())
-        return pd.Series(bf.maybe_contains(_to_u64(h1), _to_u64(h2)))
+        return pd.Series(bc.value.maybe_contains(_to_u64(h1), _to_u64(h2)))
 
     return df.withColumn(out, probe(*_hash_cols(col)))
 
@@ -148,7 +205,7 @@ def seen_anti_join(
     candidates: DataFrame,
     seen: DataFrame,
     col: str = "canon_url",
-    bloom: BloomFilter | None = None,
+    bloom: BloomFilter | ShardedBloom | None = None,
     fpp: float = 0.01,
 ) -> DataFrame:
     """Exact ``candidates ANTI JOIN seen ON col`` with a Bloom pre-filter:
