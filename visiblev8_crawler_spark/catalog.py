@@ -87,6 +87,15 @@ class ParquetCatalog:
         df.write.mode("overwrite").parquet(path)
         return path
 
+    def write_unpublished(self, name: str, df: DataFrame, tag: str) -> str:
+        """Write a file set WITHOUT publishing it (invisible to readers until
+        a later commit lists its path via ``prewritten``). Lets the caller run
+        the write as the wave's only action — e.g. collecting Observation
+        metrics from it — and still decide afterwards whether to commit.
+        Paths are deterministic per (name, tag), so an abandoned set is
+        simply overwritten on re-run."""
+        return self._write(name, df, tag)
+
     def commit(
         self,
         tag: str,
@@ -94,13 +103,19 @@ class ParquetCatalog:
         replaces: dict[str, DataFrame] | None = None,
         watermark: int | None = None,
         prepared: bool | None = None,
+        prewritten: dict[str, str] | None = None,
     ) -> None:
-        """Write all dataframes, then atomically publish them in one manifest
-        swap. ``appends`` add file sets to a table; ``replaces`` supersede all
-        previous file sets (used for the per-wave ``pending`` rewrite)."""
+        """Write all dataframes, then atomically publish them (plus any
+        ``prewritten`` paths from write_unpublished) in one manifest swap.
+        ``appends`` add file sets to a table; ``replaces`` supersede all
+        previous file sets."""
         m = self._load_manifest()
         for name, df in (appends or {}).items():
             p = self._write(name, df, tag)
+            m["tables"].setdefault(name, [])
+            if p not in m["tables"][name]:
+                m["tables"][name].append(p)
+        for name, p in (prewritten or {}).items():
             m["tables"].setdefault(name, [])
             if p not in m["tables"][name]:
                 m["tables"][name].append(p)

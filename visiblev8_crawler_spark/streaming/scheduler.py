@@ -45,7 +45,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
@@ -246,17 +246,21 @@ def _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_
             .repartition(P, "canon_url")
             .persist()
         )
-        # no separate emptiness check: the one aggregate below both counts
-        # the wave and detects termination (one Spark job instead of two)
-        results = fetch_verify(selected, images, cfg.fetch_timeout_ms).persist()
-        agg = results.agg(
-            F.count("*").alias("n"),
+        # the fetches write is the wave's ONLY pass over the fetch results:
+        # counts ride along as Observation metrics (no separate agg job, no
+        # results cache), and the file set stays unpublished until the commit
+        # below — so an empty wave, or a crash here, publishes nothing.
+        obs = Observation()
+        results = fetch_verify(selected, images, cfg.fetch_timeout_ms).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("status") == "OK", 1).otherwise(0)).alias("ok"),
-        ).collect()[0]
-        n_attempted, n_ok = int(agg["n"]), int(agg["ok"] or 0)
+        )
+        fetches_path = cat.write_unpublished("fetches", results, f"wave={wave_id}")
+        n_attempted = int(obs.get["n"])
+        n_ok = int(obs.get["ok"] or 0)
         if n_attempted == 0:
             selected.unpersist()
-            results.unpersist()
             break
 
         wall = time.perf_counter() - t0 + carry_s
@@ -279,7 +283,8 @@ def _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_
         t_commit = time.perf_counter()
         cat.commit(
             f"wave={wave_id}",
-            appends={"fetches": results, "metrics": metrics},
+            appends={"metrics": metrics},
+            prewritten={"fetches": fetches_path},
             watermark=wave_id,
         )
 
@@ -287,11 +292,16 @@ def _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_
         # new snapshot): drop this wave's rows, add this wave's retryable
         # failures back as attempt 2. Both joins broadcast the wave keys
         # (<= batch_size rows); one localCheckpoint per wave materializes the
-        # new generation and truncates lineage.
+        # new generation and truncates lineage. Retry keys are read back from
+        # the just-committed parquet — a columnar scan of <= batch_size rows,
+        # not a recompute of the fetch kernel.
         wave_keys = F.broadcast(selected.select("canon_url"))
-        bad = results.filter(
-            (F.col("attempt") == 1) & F.col("status").isin(*RETRYABLE)
-        ).select("canon_url")
+        bad = (
+            spark.read.schema(schemas.FETCHES)
+            .parquet(fetches_path)
+            .filter((F.col("attempt") == 1) & F.col("status").isin(*RETRYABLE))
+            .select("canon_url")
+        )
         new_retries = schemas.conform(
             selected.join(F.broadcast(bad), "canon_url", "left_semi").withColumn(
                 "attempt", F.lit(2)
@@ -305,7 +315,6 @@ def _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_
             .localCheckpoint(eager=True)
         )
         selected.unpersist()
-        results.unpersist()
         carry_s = time.perf_counter() - t_commit
         wave_id += 1
         waves_done += 1
