@@ -55,6 +55,29 @@ def test_resize_fp_match_mirror(spark, expected):
         assert got[doc_id] == want, doc_id
 
 
+def test_video_frame_sample(spark):
+    got = {}
+    for r in imageops.video_frame_sample(spark, SF_DIR).collect():
+        got[(r["doc_id"], r["frame_idx"])] = (r["mean_lum"], r["phash"])
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")["doc_id"]
+    want = {}
+    for doc_id in docs:
+        blob = imageops._video_for(int(doc_id))
+        for k, frame in enumerate(imageops.iter_vseq_frames(blob)):
+            if k % 2:
+                continue
+            want[(int(doc_id), k)] = (int(frame.mean()), codecs.phash64(frame))
+    assert got == want
+    # sampling really skipped frames: indices are 0,2,4 of a 6-frame clip
+    assert {k for _d, k in got} == {0, 2, 4}
+
+
+def test_vseq_rejects_garbage():
+    with pytest.raises(ValueError):
+        list(imageops.iter_vseq_frames(b"nope"))
+
+
 def test_av_stub_raises():
     with pytest.raises(NotImplementedError):
         imageops.decode_av_stub(b"\x00", "mp4")

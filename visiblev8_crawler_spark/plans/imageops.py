@@ -203,6 +203,99 @@ def image_resize_fp(spark, sf_dir):
     return _with_images(spark, sf_dir).mapInPandas(kernel, _RESIZE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# frame sampling over a video-like container
+# ---------------------------------------------------------------------------
+# Container format "VSEQ": 4-byte magic + u32 frame count + per-frame
+# (u32 length + PNG bytes). A deterministic stand-in for a real video (no AV
+# codecs in this container) — the Spark-side plumbing (one binary blob per
+# row, frame demux + every-k-th sampling + per-frame decode inside the
+# kernel) is exactly what an mp4 + pyav deployment does.
+
+_VSEQ_MAGIC = b"VSEQ"
+
+
+def encode_vseq(frames: list[np.ndarray]) -> bytes:
+    import struct
+
+    out = [_VSEQ_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        png = codecs.encode_png(f)
+        out.append(struct.pack(">I", len(png)))
+        out.append(png)
+    return b"".join(out)
+
+
+def iter_vseq_frames(data: bytes):
+    import struct
+
+    if data[:4] != _VSEQ_MAGIC:
+        raise ValueError("not a VSEQ container")
+    (n,) = struct.unpack(">I", data[4:8])
+    pos = 8
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        yield codecs.decode_png(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+
+
+def _video_for(doc_id: int, n_frames: int = 6, side: int = 16) -> bytes:
+    frames = [
+        codecs.pixels_for(f"doc_{doc_id}_frame_{k}", side, side) for k in range(n_frames)
+    ]
+    return encode_vseq(frames)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("mean_lum", IntegerType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+@q(
+    "video_frame_sample",
+    None,  # frame demux is not SQL-expressible; exact-checked in tests/test_imageops.py
+    "multimodal frame sampling: video-like binary container -> demux -> every-2nd-frame decode -> per-frame luminance + phash; one input row fans out to one row per sampled frame (flatMap-shaped mapInPandas)",
+)
+def video_frame_sample(spark, sf_dir, stride: int = 2):
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    # stage 1: materialize the video blob as a real binary column (on a real
+    # pipeline this is the stored column; the blob crosses the Arrow boundary)
+    vid_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("video", BinaryType())]
+    )
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {"doc_id": b["doc_id"], "video": [_video_for(int(d)) for d in b["doc_id"]]}
+            )
+
+    videos = docs.mapInPandas(make, vid_schema)
+
+    # stage 2: demux + every-stride-th frame decode; one row in, one row per
+    # sampled frame out
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"doc_id": [], "frame_idx": [], "mean_lum": [], "phash": []}
+            for doc_id, blob in zip(b["doc_id"], b["video"]):
+                for k, frame in enumerate(iter_vseq_frames(bytes(blob))):
+                    if k % stride:
+                        continue
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(k)
+                    rows["mean_lum"].append(int(frame.mean()))
+                    rows["phash"].append(codecs.phash64(frame))
+            yield pd.DataFrame(rows)
+
+    return videos.mapInPandas(sample, _FRAME_SCHEMA)
+
+
 def decode_av_stub(data: bytes, fmt: str) -> np.ndarray:
     """Audio/video decode stub: the container ships no AV codecs, so the
     Spark-side plumbing (binary column + mapInPandas kernel shape) is what
