@@ -156,11 +156,9 @@ _IVF_NPROBE = 2
     ORDER BY cosine DESC, a.vec_id ASC
     LIMIT 10
     """,
-    "ANN scale path #2, IVF: assign every vector to its nearest coarse centroid (broadcast 4-row cross join + per-vector rank), probe the nprobe clusters closest to the query, brute-force only inside them; centroids are fixed table rows so the oracle replays assignment bit-for-bit",
+    "ANN scale path #2, IVF: assign every vector to its nearest coarse centroid (map-only columnar argmax over literal centroid vectors — no shuffle), probe the nprobe clusters closest to the query, brute-force only inside them; centroids are fixed table rows so the oracle replays assignment bit-for-bit",
 )
 def embedding_ivf_topk(spark, sf_dir):
-    from pyspark.sql import Window
-
     qv = _query_vec(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id").isin(*_IVF_CENTROID_IDS)).select(
@@ -182,14 +180,25 @@ def embedding_ivf_topk(spark, sf_dir):
         for r in sorted(cent_rows, key=lambda r: (-cosq(r["ce"]), r["cid"]))[:_IVF_NPROBE]
     ]
 
-    crossed = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).crossJoin(F.broadcast(cents))
-    cos_vc = _dot(F.col("embedding"), F.col("ce")) / (
-        _norm(F.col("embedding")) * _norm(F.col("ce"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(cos_vc.desc(), F.col("cid").asc())
+    # assignment = per-row argmax over k centroid-cosine COLUMNS, not a
+    # window over a near-unique key: the centroids are tiny (the coarse
+    # quantizer), so inline them as literal arrays and take array_max over
+    # structs — struct comparison is field-order lexicographic, so
+    # (cosine, -cid) max == "highest cosine, lowest cid on tie", matching
+    # the oracle's ROW_NUMBER ... ORDER BY cos DESC, cid ASC. Zero
+    # exchanges before the probe filter (was: crossJoin + Window shuffle
+    # hash-partitioned on vec_id — a full shuffle of every embedding).
+    cand = []
+    for r in sorted(cent_rows, key=lambda r: r["cid"]):
+        ce = [float(x) for x in r["ce"]]
+        lit_ce = F.array(*[F.lit(x) for x in ce])
+        cnorm = math.sqrt(sum(x * x for x in ce))
+        cos_c = _dot(F.col("embedding"), lit_ce) / (_norm(F.col("embedding")) * F.lit(cnorm))
+        cand.append(F.struct(cos_c.alias("c"), F.lit(-int(r["cid"])).alias("negcid")))
+    best = F.array_max(F.array(*cand))
     assign = (
-        crossed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .withColumn("cid", (-best["negcid"]).cast("long"))
         .select("vec_id", "embedding", "cid")
     )
     sel = assign.filter(F.col("cid").isin(*probe))
@@ -201,68 +210,102 @@ def embedding_ivf_topk(spark, sf_dir):
     )
 
 
-@q(
-    "embedding_lsh_neardup_pairs",
-    f"""
-    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-                      {_BUCKET_SQL.format(v='embedding')} AS bkt
-               FROM embeddings)
-    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bkt AS bucket,
-           ROUND(list_dot_product(a.e, b2.e)
-                 / (sqrt(list_dot_product(a.e, a.e))
-                    * sqrt(list_dot_product(b2.e, b2.e))), 6) AS cosine
-    FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
-    WHERE list_dot_product(a.e, b2.e)
-          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e)))
-          >= 0.30
-    """,
-    "embedding near-dup, LSH-bucketed: sign-projection buckets bound the pair join to ~n^2/2^bits (no label crutch) — the all-pairs scale path of embedding_neardup_pairs",
-)
-def embedding_lsh_neardup_pairs(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "bkt", _bucket_expr_spark(F.col("embedding"))
+# ---------------------------------------------------------------------------
+# Banded sign-projection LSH near-dup (the scale-safe shape)
+# ---------------------------------------------------------------------------
+#
+# b bands x r sign bits per band, bucket key = (band, r-bit signature).
+# Candidate pairs = rows colliding in AT LEAST ONE band; exact cosine then
+# filters to the threshold. Per-band, a bucket holds ~n/2^r rows, so the
+# pair join costs ~b * n^2 / 2^r — choose r ~ log2(n / target_bucket_rows)
+# so within-bucket work stays bounded as n grows (the minhash_lsh_pairs
+# construction, textops.py, applied to dense vectors; Charikar's SimHash
+# banding). No label crutch: buckets derive from the vectors alone.
+# Spark expr and DuckDB SQL are generated from the same axis table so the
+# two engines cannot drift.
+
+
+def _band_axes(bands: int, r: int) -> list[list[int]]:
+    """1-based embedding axes for band i, bit j: contiguous r-wide strides."""
+    assert bands * r <= _DIM
+    return [[1 + i * r + j for j in range(r)] for i in range(bands)]
+
+
+def _sig_expr_spark(col: Column, axes: list[int]) -> Column:
+    s: Column = F.lit(0)
+    for j, ax in enumerate(axes):
+        s = s + F.when(F.element_at(col, ax) > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return s
+
+
+def _sig_sql(v: str, axes: list[int]) -> str:
+    return " + ".join(
+        f"(CASE WHEN {v}[{ax}] > 0 THEN {2**j} ELSE 0 END)" for j, ax in enumerate(axes)
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("bkt"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("bkt"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, "bkt").filter(F.col("vec_a") < F.col("vec_b"))
+
+
+def _banded_neardup_spark(spark, sf_dir, bands: int, r: int, tau: float) -> DataFrame:
+    axes = _band_axes(bands, r)
+    emb = load(spark, sf_dir, "embeddings")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                _sig_expr_spark(F.col("embedding"), axes[i]).alias("sig"),
+            )
+            for i in range(bands)
+        ]
+    )
+    ex = emb.select(
+        "vec_id", "embedding", F.explode(band_structs).alias("bs")
+    ).select("vec_id", "embedding", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = ex.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "band", "sig")
+    b = ex.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "band", "sig")
+    pairs = a.join(b, ["band", "sig"]).filter(F.col("vec_a") < F.col("vec_b"))
     cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    # a pair colliding in >1 band appears once per band with an identical
+    # rounded cosine -> distinct() is the union-of-bands dedup
     return (
         pairs.withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.30)
-        .select(
-            "vec_a", "vec_b", F.col("bkt").alias("bucket"), F.round("cos_raw", 6).alias("cosine")
-        )
+        .filter(F.col("cos_raw") >= tau)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+        .distinct()
     )
+
+
+def _banded_neardup_sql(bands: int, r: int, tau: float) -> str:
+    axes = _band_axes(bands, r)
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {i} AS band, ({_sig_sql('v', axes[i])}) AS sig FROM e"
+        for i in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS ({band_selects})
+    SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b2.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cosine
+    FROM x a JOIN x b2 ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id < b2.vec_id
+    WHERE list_dot_product(a.v, b2.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v)))
+          >= {tau}
+    """
+
+
+@q(
+    "embedding_lsh_neardup_pairs",
+    _banded_neardup_sql(bands=8, r=6, tau=0.30),
+    "embedding near-dup, high-precision parameterization: 8 bands x 6 bits (64 buckets/band) — per-band pair cost ~n^2/64; at 100 TB raise r with log2(n) to hold bucket occupancy constant, recall comes from adding bands",
+)
+def embedding_lsh_neardup_pairs(spark, sf_dir):
+    return _banded_neardup_spark(spark, sf_dir, bands=8, r=6, tau=0.30)
 
 
 @q(
     "embedding_neardup_pairs",
-    """
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                 6) AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.30
-    """,
-    "embedding near-dup: label-bucketed pair join (the bucket key bounds the quadratic blowup; cross-bucket pairs are out of scope by construction)",
+    _banded_neardup_sql(bands=4, r=4, tau=0.30),
+    "embedding near-dup, canonical banded sign-LSH: 4 bands x 4 bits, bucket key (band, signature), union bands + distinct pairs, exact-cosine verify at tau=0.30; replaces the round-1 label-bucket crutch (all-pairs-within-label was quadratic in label frequency)",
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
-    )
-    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
-    return (
-        pairs.withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.30)
-        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cosine"))
-    )
+    return _banded_neardup_spark(spark, sf_dir, bands=4, r=4, tau=0.30)

@@ -99,7 +99,7 @@ def classifier_inference(spark, sf_dir):
              COUNT(*) AS n,
              ROUND(AVG(n_chars), 4) AS avg_chars,
              MAX(n_chars) AS max_chars,
-             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
       FROM scored GROUP BY src_family),
     p AS (SELECT *, SUM(n) OVER () AS tot FROM g)
     SELECT src_family, n, avg_chars, max_chars, n_en,

@@ -119,7 +119,7 @@ def pct_of_total_by_priority(spark, sf_dir):
            COUNT(*) AS n,
            ROUND(AVG(n_chars), 4) AS avg_chars,
            MAX(n_chars) AS max_chars,
-           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
     FROM documents
     GROUP BY regexp_replace(source, '[0-9]+$', '')
     HAVING COUNT(*) >= 2
@@ -325,7 +325,7 @@ def capped_count(spark, sf_dir):
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
     FROM events GROUP BY event_type
     """,
