@@ -77,7 +77,14 @@ def _crawl_bench(spark, cpus: int) -> dict:
             spark.read.parquet(os.path.join(world, "frontier.parquet")),
             spark.read.parquet(os.path.join(world, "robots.parquet")),
             spark.read.parquet(os.path.join(world, "images.parquet")),
-            scheduler.CrawlConfig(batch_size=CRAWL_BATCH, default_budget=100),
+            # wave_period_s: a 30k-row wave models ~20 min of politeness
+            # clock (the 10^10-campaign shape this bench reproduces), so the
+            # crawl-delay rate cap floor(period/delay) >= the scaled
+            # max_per_wave and throughput, not politeness, is what's measured
+            # (politeness-rate semantics are pinned by test_crawl_delay_budget)
+            scheduler.CrawlConfig(
+                batch_size=CRAWL_BATCH, default_budget=100, wave_period_s=1200.0
+            ),
             stop_after_waves=CRAWL_WAVES,
         )
         wall = time.perf_counter() - t0

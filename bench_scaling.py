@@ -51,6 +51,7 @@ WORLD_ARGS = [
     "--batch-size", "25000",
     "--default-budget", "100",
     "--budget-scale", "4",  # few, large waves: the 10^10-campaign shape
+    "--wave-period", "1200",  # waves model ~20 min of politeness clock
     "--image-sizes", "256,320,384",  # ~16 ms decode+verify per row
     "--stop-after-waves", "2",
 ]

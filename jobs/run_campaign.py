@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--stop-after-waves", type=int, default=None)
     ap.add_argument("--parallelism", type=int, default=32)
     ap.add_argument("--budget-scale", type=int, default=1)
+    ap.add_argument("--wave-period", type=float, default=60.0,
+                    help="seconds of politeness clock one wave models; a host "
+                         "with Crawl-delay d gets <= floor(period/d) rows/wave")
     ap.add_argument(
         "--frontier-file",
         default=None,
@@ -92,6 +95,7 @@ def main() -> None:
             batch_size=args.batch_size,
             default_budget=args.default_budget,
             salt_width=args.salt_width,
+            wave_period_s=args.wave_period,
         ),
         stop_after_waves=args.stop_after_waves,
     )

@@ -206,6 +206,57 @@ def test_extreme_hot_host_skew(spark, world, tmp_path_factory):
     assert per_wave_hot and all(r["count"] <= 7 for r in per_wave_hot)
 
 
+def test_crawl_delay_budget(spark, world, tmp_path_factory):
+    """A host declaring Crawl-delay: 5 gets at most floor(wave_period/5) rows
+    per wave even when its max_per_wave cap is far larger (reference DELAY
+    throttle, url_sender.py:45,259-261) — and the campaign still equals the
+    simulator wave-for-wave."""
+    slow, fast = "slow.example", "fast.example"
+    rows = [
+        {"seq": i + 1, "url": f"https://{slow if i % 2 else fast}/img/img_{i % 250:012d}",
+         "host": slow if i % 2 else fast, "priority": 0, "task_id": "delay"}
+        for i in range(400)
+    ]
+    robots_rows = [
+        {"host": slow, "full_block": False, "disallow_prefixes": [],
+         "crawl_delay_s": 5.0, "max_per_wave": 50},
+        {"host": fast, "full_block": False, "disallow_prefixes": [],
+         "crawl_delay_s": 1.0, "max_per_wave": 50},
+    ]
+    robots_by_host = {r["host"]: r for r in robots_rows}
+
+    sim = simulator.simulate_campaign(
+        rows, robots_by_host, world["images_by_id"], batch_size=100, wave_period_s=60.0
+    )
+    robots = spark.createDataFrame(
+        robots_rows, "host string, full_block boolean, disallow_prefixes array<string>, "
+        "crawl_delay_s double, max_per_wave int"
+    )
+    cat = scheduler.run_campaign(
+        spark, str(tmp_path_factory.mktemp("cat_delay")),
+        spark.createDataFrame(rows), robots,
+        spark.read.parquet(world["paths"]["images"]),
+        CrawlConfig(batch_size=100, wave_period_s=60.0),
+    )
+    got = {
+        (r["canon_url"], r["wave_id"], r["order_in_wave"])
+        for r in scheduler.crawl_order_df(cat).collect()
+    }
+    assert got == set(sim.crawl_order)
+
+    per_wave = (
+        cat.read("fetches")
+        .filter(F.col("attempt") == 1)
+        .groupBy("host", "wave_id")
+        .count()
+        .collect()
+    )
+    slow_counts = [r["count"] for r in per_wave if r["host"] == slow]
+    fast_counts = [r["count"] for r in per_wave if r["host"] == fast]
+    assert slow_counts and max(slow_counts) <= 12  # floor(60 / 5)
+    assert max(fast_counts) == 50  # delay 1 s -> cap is max_per_wave
+
+
 def test_kill_resume_identical(spark, world, spark_run, tmp_path_factory):
     """Stop after one wave (kill analog), resume with a fresh call: final
     tables byte-equal to the uninterrupted campaign."""

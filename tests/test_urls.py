@@ -55,6 +55,51 @@ def test_etld1():
     assert U.canonicalize("https://a.b.site7.example/x")["etld1"] == "site7.example"
 
 
+PSL_CASES = [
+    # (host, etld1) — the 2_mega:24 url_etld1 contract on multi-label suffixes
+    ("example.com", "example.com"),
+    ("a.b.example.com", "example.com"),
+    ("example.co.uk", "example.co.uk"),  # exact 2-label rule
+    ("www.example.co.uk", "example.co.uk"),
+    ("deep.sub.example.co.uk", "example.co.uk"),
+    ("example.gov.uk", "example.gov.uk"),
+    ("foo.act.edu.au", "foo.act.edu.au"),  # exact 3-label rule
+    ("bar.foo.act.edu.au", "foo.act.edu.au"),
+    ("something.ck", ""),  # *.ck wildcard: something.ck IS a suffix
+    ("shop.something.ck", "shop.something.ck"),
+    ("www.ck", "www.ck"),  # !www.ck exception: registrable
+    ("a.www.ck", "www.ck"),
+    ("city.kawasaki.jp", "city.kawasaki.jp"),  # !city.kawasaki.jp exception
+    ("ward.kawasaki.jp", ""),  # *.kawasaki.jp wildcard
+    ("x.ward.kawasaki.jp", "x.ward.kawasaki.jp"),
+    ("user.github.io", "user.github.io"),  # private-section rule
+    ("a.user.github.io", "user.github.io"),
+    ("co.uk", ""),  # the host IS a public suffix
+    ("com", ""),
+    ("localhost", ""),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("host,expected", PSL_CASES)
+def test_etld1_public_suffix_python(host, expected):
+    from visiblev8_crawler_spark.functions.psl import etld1_py
+
+    assert etld1_py(host) == expected
+
+
+def test_etld1_public_suffix_spark(spark):
+    """The InSet expression tree and the Python mirror agree on every PSL case."""
+    from visiblev8_crawler_spark.functions.psl import etld1_col
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(h,) for h, _ in PSL_CASES], "host string")
+    got = {r["host"]: r["e"] for r in df.select("host", etld1_col(F.col("host")).alias("e")).collect()}
+    for host, expected in PSL_CASES:
+        assert got[host] == expected, (host, got[host], expected)
+
+
 def test_image_id_extraction():
     assert U.image_id_from_path("/img/img_000000000042") == "img_000000000042"
     assert U.image_id_from_path("/nope") is None

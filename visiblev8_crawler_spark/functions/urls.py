@@ -20,8 +20,9 @@ Canonical form:
     scheme+host -> drop :port and userinfo -> path defaults to "/" ->
     drop #fragment -> keep ?query.
     canon_url = scheme://host + path + ('?'+query if query)
-    etld1     = last two dot-labels of host (synthetic hosts; a public-suffix
-                broadcast table would slot in here for real data)
+    etld1     = public-suffix eTLD+1 (functions/psl.py: bundled PSL snapshot,
+                InSet expressions — correct for multi-label suffixes like
+                co.uk, matching the url_etld1 contract of 2_mega:24)
     stemmed   = scheme://host + path  (the url_stemmed column, 2_mega:25)
 """
 
@@ -32,11 +33,12 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .psl import etld1_col, etld1_py
+
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
 _AUTH_RE = r"^[^:]+://([^/?#]*)"
 _PATH_RE = r"^[^:]+://[^/?#]*(/[^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
-_ETLD1_RE = r"([^.]+\.[^.]+)$"
 
 VALID_SCHEMES = ("http", "https")  # backend tasks.py:29 `valid_schemas`
 
@@ -61,7 +63,7 @@ def _canon_cols(url: Column) -> dict[str, Column]:
         "host": host,
         "path": path,
         "query": query,
-        "etld1": F.regexp_extract(host, _ETLD1_RE, 1),
+        "etld1": etld1_col(host),
         "stemmed": stemmed,
         "canon_url": canon,
         "valid": valid,
@@ -89,7 +91,6 @@ _P_SCHEME_CAP = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://")
 _P_AUTH = re.compile(_AUTH_RE)
 _P_PATH = re.compile(_PATH_RE)
 _P_QUERY = re.compile(_QUERY_RE)
-_P_ETLD1 = re.compile(_ETLD1_RE)
 
 
 def canonicalize(url: str) -> dict:
@@ -107,13 +108,12 @@ def canonicalize(url: str) -> dict:
     query = m.group(1) if m else ""
     stemmed = f"{scheme}://{host}{path}"
     canon = stemmed + (f"?{query}" if query else "")
-    m = _P_ETLD1.search(host)
     return {
         "scheme": scheme,
         "host": host,
         "path": path,
         "query": query,
-        "etld1": m.group(1) if m else "",
+        "etld1": etld1_py(host),
         "stemmed": stemmed,
         "canon_url": canon,
         "valid": scheme in VALID_SCHEMES and len(host) > 0,

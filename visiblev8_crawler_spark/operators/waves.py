@@ -41,6 +41,16 @@ from pyspark.sql import functions as F
 
 DEFAULT_BUDGET = 25  # simulator.DEFAULT_MAX_PER_WAVE
 
+# The declarative form of the reference's politeness sleep (url_sender.py:45
+# DELAY, :259-261 the 1 s-per-URL throttle): a wave models one scheduling
+# period of WAVE_PERIOD_S seconds, so a host whose robots.txt declares
+# Crawl-delay: d can receive at most floor(period / d) fetches per wave.
+# The effective per-wave budget is min(max_per_wave, floor(period / delay)) —
+# max_per_wave stays as the operator-set concurrency cap, crawl_delay_s is
+# the site-declared rate the reference honored with sleeps.
+DEFAULT_WAVE_PERIOD_S = 60.0
+DEFAULT_CRAWL_DELAY_S = 1.0  # reference DELAY=1 s when the site declares none
+
 SALT_SEED = "wave-salt"
 
 
@@ -66,13 +76,36 @@ def choose_salt_width(pending: DataFrame) -> int:
     return max(1, min(256, -(-int(hottest) // ROWS_PER_SALT)))
 
 
-def with_host_budget(pending: DataFrame, robots: DataFrame, default_budget: int) -> DataFrame:
+def with_host_budget(
+    pending: DataFrame,
+    robots: DataFrame,
+    default_budget: int,
+    wave_period_s: float = DEFAULT_WAVE_PERIOD_S,
+) -> DataFrame:
     """Left-broadcast-join the robots politeness dimension (small: one row per
-    host) onto pending; unknown hosts get the default budget."""
-    budgets = robots.select("host", "max_per_wave")
-    return pending.join(F.broadcast(budgets), "host", "left").withColumn(
-        "host_budget", F.coalesce(F.col("max_per_wave"), F.lit(default_budget))
-    ).drop("max_per_wave")
+    host) onto pending. Effective budget = min(max_per_wave cap, crawl-delay-
+    derived rate floor(wave_period / crawl_delay_s)); unknown hosts get the
+    default budget at the reference's global DELAY=1 s."""
+    cols = ["host", "max_per_wave"]
+    budgets = robots.select(*cols, *(
+        [F.col("crawl_delay_s")] if "crawl_delay_s" in robots.columns
+        else [F.lit(None).cast("double").alias("crawl_delay_s")]
+    ))
+    delay = F.when(
+        F.col("crawl_delay_s").isNull() | (F.col("crawl_delay_s") <= 0),
+        F.lit(DEFAULT_CRAWL_DELAY_S),
+    ).otherwise(F.col("crawl_delay_s"))
+    return (
+        pending.join(F.broadcast(budgets), "host", "left")
+        .withColumn(
+            "host_budget",
+            F.least(
+                F.coalesce(F.col("max_per_wave"), F.lit(default_budget)),
+                F.floor(F.lit(float(wave_period_s)) / delay).cast("int"),
+            ),
+        )
+        .drop("max_per_wave", "crawl_delay_s")
+    )
 
 
 def select_wave(
@@ -83,12 +116,13 @@ def select_wave(
     default_budget: int = DEFAULT_BUDGET,
     salt_width: int = 8,
     retries: DataFrame | None = None,
+    wave_period_s: float = DEFAULT_WAVE_PERIOD_S,
 ) -> DataFrame:
     """Pick this wave's rows from pending (∪ retries). Returns pending
     columns + (wave_id, order_in_wave). Deterministic and plan-independent."""
     order = [F.col("priority").desc(), F.col("seq").asc()]
 
-    cand = with_host_budget(pending, robots, default_budget)
+    cand = with_host_budget(pending, robots, default_budget, wave_period_s)
     if salt_width > 1:
         # phase 1: bound each host to <= salt_width*cap survivors. One hash
         # exchange on (host, salt) — the salt splits a hot host across
@@ -99,7 +133,9 @@ def select_wave(
             F.col("_r1") <= F.col("host_budget")
         ).drop("_r1")
     if retries is not None:
-        cand = cand.unionByName(with_host_budget(retries, robots, default_budget))
+        cand = cand.unionByName(
+            with_host_budget(retries, robots, default_budget, wave_period_s)
+        )
     # phase 2: exact per-host rank over the (now bounded per host) candidates
     w2 = Window.partitionBy("host").orderBy(*order)
     eligible = (

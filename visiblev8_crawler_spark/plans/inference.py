@@ -88,6 +88,110 @@ def classifier_inference(spark, sf_dir):
 
 
 @q(
+    "json_map_features",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (SELECT doc_id, toks, toks[1:6] AS first6 FROM t)
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(first6, x -> strlen(x))), 0) AS BIGINT)
+             AS access_total,
+           CAST(len(first6) AS BIGINT) AS unique_apis,
+           CAST(CASE WHEN len(list_filter(first6, x -> contains(x, 'er'))) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS has_storage_sink,
+           CAST(CASE WHEN len(list_filter(first6, x -> x IN ('the', 'and', 'of'))) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS has_network_sink,
+           CAST(len(list_filter(toks, x -> contains(x, 'an'))) AS BIGINT) AS mouse_event_count,
+           CAST(len(list_filter(toks, x -> contains(x, 'er'))) AS BIGINT) AS keyboard_event_count,
+           CAST(len(list_filter(toks, x -> contains(x, 'in'))) AS BIGINT) AS touch_event_count,
+           CAST(len(list_filter(toks, x -> contains(x, 'on'))) AS BIGINT) AS pointer_event_count,
+           CAST((CASE WHEN len(list_filter(toks, x -> contains(x, 'an'))) > 0 THEN 1 ELSE 0 END
+               + CASE WHEN len(list_filter(toks, x -> contains(x, 'er'))) > 0 THEN 1 ELSE 0 END
+               + CASE WHEN len(list_filter(toks, x -> contains(x, 'in'))) > 0 THEN 1 ELSE 0 END
+               + CASE WHEN len(list_filter(toks, x -> contains(x, 'on'))) > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS behavioral_event_diversity,
+           CASE WHEN len(toks) + len(first6) > 0
+                THEN ROUND(len(toks) * 1.0 / (len(toks) + len(first6)), 6)
+                ELSE 0.0 END AS behavioral_ratio,
+           CASE WHEN len(toks) + len(first6) > 0
+                THEN ROUND(COALESCE(list_sum(list_transform(first6, x -> strlen(x))), 0)
+                           * 1.0 / (len(toks) + len(first6)), 6)
+                ELSE 0.0 END AS intensity_ratio
+    FROM f
+    """,
+    "A6/X7 full JSON map+array feature engineering (production_classifier.py:104-123 json field "
+    "parse, :154-211 features): Spark builds a JSON object per row, parses it with "
+    "from_json->MapType, then computes sum-of-map-values (aggregate over map_values), map size, "
+    "key-substring sink flags (exists over map_keys), substring-count event classes over the "
+    "array column (size(filter(...))), diversity, and zero-guarded ratios. The DuckDB oracle "
+    "derives the same features directly from the tokens, so any loss in the JSON round-trip "
+    "breaks the value hash — the map path is checked end-to-end.",
+)
+def json_map_features(spark, sf_dir):
+    from pyspark.sql.types import IntegerType, MapType, StringType
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # deterministic map column: first-6 tokens -> token length, keys made
+    # unique with their 1-based position (map_from_arrays rejects dup keys);
+    # serialized to JSON then parsed back so the query exercises the
+    # reference's json.loads -> dict path (classifier.py:104-123), not a
+    # pre-structured shortcut.
+    first6 = F.slice("toks", 1, 6)
+    j = F.to_json(
+        F.map_from_arrays(
+            F.transform(first6, lambda x, i: F.concat(x, F.lit("#"), (i + 1).cast("string"))),
+            F.transform(first6, lambda x: F.length(x)),
+        )
+    )
+    m = F.from_json(j, MapType(StringType(), IntegerType()))
+    d = d.withColumn("m", m)
+
+    tok_part = lambda k: F.substring_index(k, "#", 1)  # noqa: E731 — key without '#pos'
+    count_like = lambda marker: F.size(  # noqa: E731
+        F.filter("toks", lambda x: x.contains(marker))
+    ).cast("long")
+
+    access_total = F.aggregate(
+        F.map_values("m"), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")
+    unique_apis = F.size("m").cast("long")
+    has_storage = F.exists(
+        F.map_keys("m"), lambda k: tok_part(k).contains("er")
+    ).cast("int").cast("long")
+    has_network = F.exists(
+        F.map_keys("m"), lambda k: tok_part(k).isin("the", "and", "of")
+    ).cast("int").cast("long")
+
+    mouse, kbd, touch, pointer = (count_like(s) for s in ("an", "er", "in", "on"))
+    diversity = (
+        (mouse > 0).cast("long")
+        + (kbd > 0).cast("long")
+        + (touch > 0).cast("long")
+        + (pointer > 0).cast("long")
+    )
+    total_apis = F.size("toks").cast("long") + unique_apis
+    ratio = lambda num: F.when(  # noqa: E731 — zero-guard (classifier.py:212-219)
+        total_apis > 0, F.round(num * 1.0 / total_apis, 6)
+    ).otherwise(F.lit(0.0))
+
+    return d.select(
+        "doc_id",
+        access_total.alias("access_total"),
+        unique_apis.alias("unique_apis"),
+        has_storage.alias("has_storage_sink"),
+        has_network.alias("has_network_sink"),
+        mouse.alias("mouse_event_count"),
+        kbd.alias("keyboard_event_count"),
+        touch.alias("touch_event_count"),
+        pointer.alias("pointer_event_count"),
+        diversity.alias("behavioral_event_diversity"),
+        ratio(F.size("toks").cast("long")).alias("behavioral_ratio"),
+        ratio(access_total).alias("intensity_ratio"),
+    )
+
+
+@q(
     "classification_report",
     """
     WITH scored AS (

@@ -34,6 +34,8 @@ from .functions.urls import canonicalize, image_id_from_path
 from .verify import verify_image_row
 
 DEFAULT_MAX_PER_WAVE = 25
+DEFAULT_WAVE_PERIOD_S = 60.0  # waves.DEFAULT_WAVE_PERIOD_S
+DEFAULT_CRAWL_DELAY_S = 1.0  # reference DELAY=1 s (url_sender.py:45)
 RETRYABLE = ("NOT_FOUND", "DECODE_ERROR", "TIMEOUT", "DIM_MISMATCH", "LOW_PSNR",
              "CAPTION_MISMATCH", "PHASH_MISMATCH")
 
@@ -65,6 +67,7 @@ def simulate_campaign(
     default_budget: int = DEFAULT_MAX_PER_WAVE,
     max_waves: int = 10_000,
     fetch_timeout_ms: float | None = None,
+    wave_period_s: float = DEFAULT_WAVE_PERIOD_S,
 ) -> SimResult:
     """frontier_rows: dicts with seq/url/priority. robots: host -> robots row.
     images: image_id -> images row (bytes/w/h/fmt/caption/phash)."""
@@ -96,7 +99,16 @@ def simulate_campaign(
         host_count: dict[str, int] = {}
         selected, leftover = [], []
         for item in candidates:
-            budget = robots.get(item["host"], {}).get("max_per_wave", default_budget)
+            rb = robots.get(item["host"], {})
+            mpw = rb.get("max_per_wave")
+            if mpw is None:
+                mpw = default_budget
+            delay = rb.get("crawl_delay_s")
+            if not delay or delay <= 0:
+                delay = DEFAULT_CRAWL_DELAY_S
+            # mirror of waves.with_host_budget: concurrency cap AND the
+            # crawl-delay-derived per-period rate (reference DELAY sleep)
+            budget = min(mpw, int(wave_period_s // delay))
             if len(selected) < batch_size and host_count.get(item["host"], 0) < budget:
                 host_count[item["host"]] = host_count.get(item["host"], 0) + 1
                 selected.append(item)

@@ -126,6 +126,10 @@ def pending_df(cat: ParquetCatalog, salt_width: int = 8) -> DataFrame:
 class CrawlConfig:
     batch_size: int = 1000
     default_budget: int = 25
+    # one wave models this many seconds of wall clock for politeness: a host
+    # with robots Crawl-delay d gets min(max_per_wave, floor(period/d)) rows
+    # per wave (waves.with_host_budget; reference DELAY, url_sender.py:45)
+    wave_period_s: float = 60.0
     # None -> choose from the pool's host histogram (waves.choose_salt_width)
     salt_width: int | None = 8
     max_waves: int = 10_000
@@ -241,7 +245,8 @@ def _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_
         # the fetch UDF uses every core instead of one.
         selected = (
             select_wave(
-                pending, robots, wave_id, cfg.batch_size, cfg.default_budget, salt_width
+                pending, robots, wave_id, cfg.batch_size, cfg.default_budget,
+                salt_width, wave_period_s=cfg.wave_period_s,
             )
             .repartition(P, "canon_url")
             .persist()
