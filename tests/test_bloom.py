@@ -131,3 +131,49 @@ def test_add_seeds_cross_campaign(spark, world, tmp_path_factory):
         .count()
     )
     assert n_first == 5, "each fresh seed crawled exactly once"
+
+
+def test_add_seeds_incremental_bloom(spark, world, tmp_path_factory, monkeypatch):
+    """After the first ingest the bloom state lives in the catalog: a second
+    ingest must NOT rebuild it from an O(pool) scan — only OR in an O(batch)
+    delta — and must still classify cached/enqueued/fresh exactly."""
+    from visiblev8_crawler_spark.operators import bloom as bloom_mod
+
+    root = str(tmp_path_factory.mktemp("cat_incbloom"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images, CrawlConfig(batch_size=150),
+        stop_after_waves=2,
+    )
+
+    def mk_frontier(urls):
+        return spark.createDataFrame(
+            [(i, u, 0) for i, u in enumerate(urls)], "seq long, url string, priority int"
+        )
+
+    batch1 = [f"https://inc-a.example/img/img_{i:012d}" for i in range(4)]
+    counts = scheduler.add_seeds(spark, cat, mk_frontier(batch1), robots)
+    assert counts["added"] == 4
+    assert cat.file_sets("bloom") == 1, "bloom state persisted after first ingest"
+
+    # from now on, any full rebuild is a bug: build_bloom scans the pool
+    def boom(*a, **k):
+        raise AssertionError("add_seeds rebuilt the bloom from an O(pool) scan")
+
+    monkeypatch.setattr(bloom_mod, "build_bloom", boom)
+
+    crawled = [r["canon_url"] for r in scheduler.url_seen_df(cat).limit(2).collect()]
+    batch2 = [f"https://inc-b.example/img/img_{i:012d}" for i in range(3)]
+    counts = scheduler.add_seeds(
+        spark, cat, mk_frontier(crawled + batch1[:1] + batch2), robots
+    )
+    assert counts["added"] == 3
+    assert counts["cached"] == 2
+    assert counts["enqueued"] == 1, "batch-1 url must hit the (incremental) bloom"
+
+    # the delta actually landed: a third ingest of batch2 dupes is 'enqueued'
+    counts = scheduler.add_seeds(spark, cat, mk_frontier(batch2), robots)
+    assert counts.get("added", 0) == 0
+    assert counts["enqueued"] == 3

@@ -50,11 +50,16 @@ def test_url_seen_equality(sim, spark_run):
 
 def test_fetch_verdict_equality(sim, spark_run):
     got = {
-        (r["canon_url"], r["attempt"]): (r["status"], r["wave_id"])
+        (r["canon_url"], r["attempt"]): (r["status"], r["wave_id"], r["task_id"], r["actions"])
         for r in spark_run.read("fetches").collect()
     }
-    want = {(f["canon_url"], f["attempt"]): (f["status"], f["wave_id"]) for f in sim.fetches}
+    want = {
+        (f["canon_url"], f["attempt"]): (f["status"], f["wave_id"], f["task_id"], f["actions"])
+        for f in sim.fetches
+    }
     assert got == want
+    # the per-row config passthrough is real: some ledger rows carry actions
+    assert any(r[2] is not None and r[3] is not None for r in got.values())
 
 
 def test_rejected_equality(sim, spark_run):
@@ -102,6 +107,25 @@ def test_fetch_status_query(sim, spark_run):
     seq, raw_url, reason = sim.rejected[0]
     rows = scheduler.fetch_status(spark_run, raw_url).collect()
     assert any(r["status"] == f"REJECTED:{reason}" for r in rows)
+
+
+def test_fetch_artifacts(sim, spark_run, spark, world):
+    """Artifact retrieval (scripts/fetch.py:113-201 analog): an OK URL's
+    attempt row carries the artifact bytes (byte-identical to the stored
+    blob), a NOT_FOUND URL's carries null bytes."""
+    images = spark.read.parquet(world["paths"]["images"])
+    ok = next(f for f in sim.fetches if f["status"] == "OK")
+    rows = scheduler.fetch_artifacts(spark_run, images, ok["canon_url"]).collect()
+    assert rows and rows[0]["status"] == "OK"
+    blob = world["images_by_id"][ok["image_id"]]["bytes"]
+    assert bytes(rows[0]["bytes"]) == bytes(blob)
+    assert rows[0]["caption"] == world["images_by_id"][ok["image_id"]]["caption"]
+
+    nf = next(f for f in sim.fetches if f["status"] == "NOT_FOUND" and f["image_id"]
+              and f["image_id"] not in world["images_by_id"])
+    rows = scheduler.fetch_artifacts(spark_run, images, nf["canon_url"]).collect()
+    assert rows and all(r["bytes"] is None for r in rows)
+    assert {r["status"] for r in rows} <= {"NOT_FOUND"}
 
 
 def test_salt_width_invariance(spark, world):

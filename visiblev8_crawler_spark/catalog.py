@@ -23,6 +23,7 @@ transactions; the scheduler only uses read/commit_wave/watermark.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
@@ -47,15 +48,27 @@ class ParquetCatalog:
     def _load_manifest(self) -> dict:
         p = self._manifest_path()
         if not os.path.exists(p):
-            return {"watermark": -1, "prepared": False, "tables": {}}
+            return {"watermark": -1, "prepared": False, "commit_seq": 0, "meta": {}, "tables": {}}
         with open(p) as f:
-            return json.load(f)
+            m = json.load(f)
+        m.setdefault("commit_seq", 0)
+        m.setdefault("meta", {})
+        return m
+
+    def meta(self, key: str, default=None):
+        """Small scalar state stored in the manifest itself (e.g. the bloom
+        seq watermark) — readable without touching any data file."""
+        return self._load_manifest()["meta"].get(key, default)
 
     def watermark(self) -> int:
         return self._load_manifest()["watermark"]
 
     def prepared(self) -> bool:
         return self._load_manifest()["prepared"]
+
+    def commit_seq(self) -> int:
+        """Monotonic commit counter — derive unique tags from commit_seq()+1."""
+        return self._load_manifest()["commit_seq"]
 
     def file_sets(self, name: str) -> int:
         """Number of committed file sets for a table (used to derive unique,
@@ -71,7 +84,11 @@ class ParquetCatalog:
         if self.file_sets(name) < min_file_sets:
             return False
         snapshot = self.read(name)
-        self.commit(f"compact-{self.file_sets(name)}", replaces={name: snapshot})
+        # tag on the monotonic commit_seq, NOT the file-set count: periodic
+        # compaction at a fixed threshold K would otherwise reuse the same
+        # "compact-K" tag every cycle and overwrite the very path the lazy
+        # snapshot DataFrame is reading from (data loss / Spark error)
+        self.commit(f"compact-{self.commit_seq() + 1}", replaces={name: snapshot})
         return True
 
     # -- reads -------------------------------------------------------------
@@ -104,30 +121,50 @@ class ParquetCatalog:
         watermark: int | None = None,
         prepared: bool | None = None,
         prewritten: dict[str, str] | None = None,
+        meta: dict | None = None,
     ) -> None:
         """Write all dataframes, then atomically publish them (plus any
         ``prewritten`` paths from write_unpublished) in one manifest swap.
         ``appends`` add file sets to a table; ``replaces`` supersede all
-        previous file sets."""
-        m = self._load_manifest()
-        for name, df in (appends or {}).items():
-            p = self._write(name, df, tag)
-            m["tables"].setdefault(name, [])
-            if p not in m["tables"][name]:
-                m["tables"][name].append(p)
-        for name, p in (prewritten or {}).items():
-            m["tables"].setdefault(name, [])
-            if p not in m["tables"][name]:
-                m["tables"][name].append(p)
-        for name, df in (replaces or {}).items():
-            p = self._write(name, df, tag)
-            m["tables"][name] = [p]
-        if watermark is not None:
-            m["watermark"] = watermark
-        if prepared is not None:
-            m["prepared"] = prepared
-        m["committed_at"] = time.time()
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self._manifest_path())  # the atomic commit point
+        previous file sets; ``meta`` merges small scalar state into the
+        manifest.
+
+        Concurrency: the whole read-modify-write runs under an exclusive
+        flock, so concurrent committers (a foreachBatch ingest stream next
+        to the wave loop) serialize instead of losing whichever manifest
+        swap lands first — the CAS analog of Iceberg's optimistic commit.
+        The manifest is re-loaded *inside* the critical section so a commit
+        always builds on the latest published state."""
+        with open(os.path.join(self.root, "_commit.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            m = self._load_manifest()
+            m["commit_seq"] += 1
+            for name, df in (appends or {}).items():
+                p = self._write(name, df, tag)
+                m["tables"].setdefault(name, [])
+                if p not in m["tables"][name]:
+                    m["tables"][name].append(p)
+            for name, p in (prewritten or {}).items():
+                m["tables"].setdefault(name, [])
+                if p not in m["tables"][name]:
+                    m["tables"][name].append(p)
+            for name, df in (replaces or {}).items():
+                path = os.path.join(self.root, "data", name, tag)
+                if path in m["tables"].get(name, []):
+                    raise ValueError(
+                        f"replace of {name!r} reuses published path {path!r}; "
+                        "pick a unique tag (e.g. commit_seq-derived)"
+                    )
+                p = self._write(name, df, tag)
+                m["tables"][name] = [p]
+            if watermark is not None:
+                m["watermark"] = watermark
+            if prepared is not None:
+                m["prepared"] = prepared
+            if meta:
+                m["meta"].update(meta)
+            m["committed_at"] = time.time()
+            tmp = self._manifest_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, self._manifest_path())  # the atomic commit point

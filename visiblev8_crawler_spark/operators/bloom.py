@@ -132,21 +132,15 @@ class ShardedBloom:
         return out
 
 
-def build_bloom(
-    df: DataFrame,
-    col: str = "canon_url",
-    capacity: int | None = None,
-    fpp: float = 0.01,
-    shards: int = 1,
-) -> BloomFilter | ShardedBloom:
-    """Distributed build: each partition sets bits into its own (per-shard)
+def _build_bitmaps(
+    df: DataFrame, col: str, n_bits: int, n_hashes: int, shards: int
+) -> list[np.ndarray]:
+    """One distributed pass over ``df`` -> per-shard bitmaps with EXPLICIT
+    params (no count, no sizing): each partition sets bits into its own
     bitmaps (mapInPandas, one binary row per shard per partition), the driver
-    ORs them per shard. One pass over ``df``, no shuffle; the only driver
-    traffic is P × shards × (n_bits/8) bytes of bitmaps."""
-    if capacity is None:
-        capacity = df.count()
-    n_bits, n_hashes = BloomFilter.params_for(max(capacity // shards, 1), fpp)
-
+    ORs them per shard. Cost is O(len(df)) + P × shards × (n_bits/8) bytes of
+    driver traffic — this is both the full build and the incremental delta
+    (same params ⇒ the delta bitmap ORs into an existing one losslessly)."""
     hashed = df.select(*_hash_cols(col))
     out_schema = StructType(
         [StructField("shard", IntegerType()), StructField("bits", BinaryType())]
@@ -175,9 +169,68 @@ def build_bloom(
     bits = [np.zeros(n_bits // 8, dtype=np.uint8) for _ in range(shards)]
     for row in hashed.mapInPandas(per_partition, out_schema).collect():
         bits[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return bits
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str = "canon_url",
+    capacity: int | None = None,
+    fpp: float = 0.01,
+    shards: int = 1,
+) -> BloomFilter | ShardedBloom:
+    """Size from ``capacity`` (or count ``df``) and build in one pass."""
+    if capacity is None:
+        capacity = df.count()
+    n_bits, n_hashes = BloomFilter.params_for(max(capacity // shards, 1), fpp)
+    bits = _build_bitmaps(df, col, n_bits, n_hashes, shards)
     if shards == 1:
         return BloomFilter(n_bits, n_hashes, bits[0])
     return ShardedBloom([BloomFilter(n_bits, n_hashes, b) for b in bits])
+
+
+def bloom_or_delta(
+    bloom: BloomFilter | ShardedBloom, df: DataFrame, col: str = "canon_url"
+) -> BloomFilter | ShardedBloom:
+    """Incremental maintenance: OR a delta build of ``df`` (same params) into
+    ``bloom``. O(len(df)), never O(seen-set) — the per-ingest cost the
+    crawl cache needs at 10^10 URLs. Returns a new filter (inputs immutable)."""
+    parts = bloom.shards if isinstance(bloom, ShardedBloom) else [bloom]
+    n_bits, n_hashes, shards = parts[0].n_bits, parts[0].n_hashes, len(parts)
+    delta = _build_bitmaps(df, col, n_bits, n_hashes, shards)
+    merged = [
+        BloomFilter(n_bits, n_hashes, bf.bits | d) for bf, d in zip(parts, delta)
+    ]
+    return merged[0] if shards == 1 else ShardedBloom(merged)
+
+
+# -- catalog (de)serialization: one row per shard -----------------------------
+
+BLOOM_STATE_SCHEMA = "shard int, n_bits long, n_hashes int, capacity long, n_added long, bits binary"
+
+
+def bloom_to_rows(
+    bloom: BloomFilter | ShardedBloom, capacity: int, n_added: int
+) -> list[tuple]:
+    parts = bloom.shards if isinstance(bloom, ShardedBloom) else [bloom]
+    return [
+        (i, bf.n_bits, bf.n_hashes, capacity, n_added, bf.bits.tobytes())
+        for i, bf in enumerate(parts)
+    ]
+
+
+def bloom_from_rows(rows) -> tuple[BloomFilter | ShardedBloom, int, int]:
+    rows = sorted(rows, key=lambda r: r["shard"])
+    parts = [
+        BloomFilter(
+            int(r["n_bits"]),
+            int(r["n_hashes"]),
+            np.frombuffer(bytes(r["bits"]), dtype=np.uint8).copy(),
+        )
+        for r in rows
+    ]
+    bloom = parts[0] if len(parts) == 1 else ShardedBloom(parts)
+    return bloom, int(rows[0]["capacity"]), int(rows[0]["n_added"])
 
 
 def with_bloom_maybe(

@@ -34,7 +34,14 @@ def prepare_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     are then derived by scanning the committed parquet (scheduler.py), never
     by recomputing this plan. At 10^10 rows that is the difference between
     one shuffle and two."""
-    canon = U.with_canonical(frontier.select("seq", "url", "priority"))
+    # task_id + actions are per-row config passthrough (submissions.actions,
+    # 3_vv8_backend_init.sql:12-18); null-fill for sources that carry none
+    # (plain seed files) so the FRONTIER_PREPARED contract always holds
+    src = frontier
+    for opt in ("task_id", "actions"):
+        if opt not in src.columns:
+            src = src.withColumn(opt, F.lit(None).cast("string"))
+    canon = U.with_canonical(src.select("seq", "url", "priority", "task_id", "actions"))
 
     # rank within (canon_url, valid) so an invalid row can never steal the
     # first-occurrence slot from the valid rows of the same canonical url

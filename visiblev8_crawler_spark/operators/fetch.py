@@ -71,6 +71,8 @@ def _verify_batches(
                 "attempt": b["attempt"],
                 "priority": b["priority"],
                 "seq": b["seq"],
+                "task_id": b["task_id"],
+                "actions": b["actions"],
                 "partition_id": b["partition_id"],
                 **out,
             }
@@ -111,6 +113,8 @@ def fetch_verify(
         "w.attempt",
         "w.priority",
         "w.seq",
+        "w.task_id",
+        "w.actions",
         # ``found`` + coalesced numerics: a nullable int64 column turns into
         # float64 at the Arrow->pandas boundary, which silently corrupts
         # 64-bit hashes (53-bit mantissa). Keep every precision-critical

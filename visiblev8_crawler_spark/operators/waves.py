@@ -28,10 +28,9 @@ Phase 1 is the only pending-sized operation: one hash exchange on
 as an Iceberg table bucketed by bucket(host) & salt, and storage-partitioned
 reads (spark.sql.sources.v2.bucketing.enabled) eliminate that exchange; in
 local mode the pool is a localCheckpoint'd DataFrame and pays it per wave.
-``retries`` (a much smaller pool) join *after* phase 1; that is safe for the
-same reason salting is: phase 1 only ever prunes rows that phase 2 would
-prune anyway, so adding rows that skipped phase 1 cannot change the phase-2
-outcome, it only (slightly) loosens the phase-1 bound.
+Retries are unioned into the pending pool by the scheduler before each wave
+(streaming/scheduler._wave_loop), so they flow through the same two-phase
+window as fresh rows — one code path, same selection semantics.
 """
 
 from __future__ import annotations
@@ -115,11 +114,11 @@ def select_wave(
     batch_size: int,
     default_budget: int = DEFAULT_BUDGET,
     salt_width: int = 8,
-    retries: DataFrame | None = None,
     wave_period_s: float = DEFAULT_WAVE_PERIOD_S,
 ) -> DataFrame:
-    """Pick this wave's rows from pending (∪ retries). Returns pending
-    columns + (wave_id, order_in_wave). Deterministic and plan-independent."""
+    """Pick this wave's rows from pending (which already includes any
+    retries — the scheduler unions them in). Returns pending columns +
+    (wave_id, order_in_wave). Deterministic and plan-independent."""
     order = [F.col("priority").desc(), F.col("seq").asc()]
 
     cand = with_host_budget(pending, robots, default_budget, wave_period_s)
@@ -132,10 +131,6 @@ def select_wave(
         cand = cand.withColumn("_r1", F.row_number().over(w1)).filter(
             F.col("_r1") <= F.col("host_budget")
         ).drop("_r1")
-    if retries is not None:
-        cand = cand.unionByName(
-            with_host_budget(retries, robots, default_budget, wave_period_s)
-        )
     # phase 2: exact per-host rank over the (now bounded per host) candidates
     w2 = Window.partitionBy("host").orderBy(*order)
     eligible = (

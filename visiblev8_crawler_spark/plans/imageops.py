@@ -49,6 +49,18 @@ from pyspark.sql.types import (
 from .. import codecs
 from .queries import load, q
 
+# golden tables (tools/gen_image_goldens.py): expected outputs of the
+# non-SQL-expressible decode kernels, computed single-process from the same
+# pure function of doc_id. The oracle joins the golden on documents.doc_id,
+# so a driver hash match proves distributed Arrow execution == the
+# single-process reference on every row at the scale factor under test.
+import os as _os
+
+_GOLDEN_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "goldens",
+)
+
 # deterministic size formula — mirrored literally in the DuckDB oracle:
 # side = 16 + (ascii(first md5 hex char of doc_id) % 3) * 8   in {16, 24, 32}
 _DIMS_SQL = "16 + (ascii(substr(md5(CAST(doc_id AS VARCHAR)), {pos}, 1)) % 3) * 8"
@@ -160,8 +172,12 @@ def _stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @q(
     "image_feature_stats",
-    None,  # decode is not SQL-expressible; exact-checked in tests/test_imageops.py
-    "multimodal feature extraction: decode -> per-channel means + 64-bit perceptual hash, vectorized per Arrow batch",
+    f"""
+    SELECT g.doc_id, g.mean_r, g.mean_g, g.mean_b, g.phash
+    FROM '{_GOLDEN_DIR}/image_stats.parquet' g
+    JOIN documents d ON g.doc_id = d.doc_id
+    """,
+    "multimodal feature extraction: decode -> per-channel means + 64-bit perceptual hash, vectorized per Arrow batch; oracle = single-process golden (tools/gen_image_goldens.py), also exact-checked in tests/test_imageops.py",
 )
 def image_feature_stats(spark, sf_dir):
     return _with_images(spark, sf_dir).mapInPandas(_stats_kernel, _STATS_SCHEMA)
@@ -186,8 +202,12 @@ _RESIZE_SCHEMA = StructType(
 
 @q(
     "image_resize_fp",
-    None,  # exact-checked in tests/test_imageops.py
-    "multimodal resize: decode -> 16x16 nearest-neighbor thumbnail -> content fingerprint (the dedup key for thumbnail-level exact dedup)",
+    f"""
+    SELECT g.doc_id, g.thumb_fp
+    FROM '{_GOLDEN_DIR}/image_resize_fp.parquet' g
+    JOIN documents d ON g.doc_id = d.doc_id
+    """,
+    "multimodal resize: decode -> 16x16 nearest-neighbor thumbnail -> content fingerprint (the dedup key for thumbnail-level exact dedup); oracle = single-process golden",
 )
 def image_resize_fp(spark, sf_dir):
     import hashlib
@@ -258,8 +278,12 @@ _FRAME_SCHEMA = StructType(
 
 @q(
     "video_frame_sample",
-    None,  # frame demux is not SQL-expressible; exact-checked in tests/test_imageops.py
-    "multimodal frame sampling: video-like binary container -> demux -> every-2nd-frame decode -> per-frame luminance + phash; one input row fans out to one row per sampled frame (flatMap-shaped mapInPandas)",
+    f"""
+    SELECT g.doc_id, g.frame_idx, g.mean_lum, g.phash
+    FROM '{_GOLDEN_DIR}/video_frames.parquet' g
+    JOIN documents d ON g.doc_id = d.doc_id
+    """,
+    "multimodal frame sampling: video-like binary container -> demux -> every-2nd-frame decode -> per-frame luminance + phash; one input row fans out to one row per sampled frame (flatMap-shaped mapInPandas); oracle = single-process golden",
 )
 def video_frame_sample(spark, sf_dir, stride: int = 2):
     docs = load(spark, sf_dir, "documents").select("doc_id")

@@ -45,6 +45,10 @@ FRONTIER = StructType(
         StructField("host", StringType()),
         StructField("priority", IntegerType()),
         StructField("task_id", StringType()),
+        # per-row crawler config passthrough (submissions.actions JSON +
+        # crawler_args, 3_vv8_backend_init.sql:12-18) — carried untouched
+        # from seed source to the fetches ledger
+        StructField("actions", StringType()),
     ]
 )
 
@@ -71,6 +75,8 @@ FRONTIER_PREPARED = StructType(
         StructField("image_id", StringType()),
         StructField("priority", IntegerType()),
         StructField("attempt", IntegerType()),
+        StructField("task_id", StringType()),
+        StructField("actions", StringType()),
         StructField("reason", StringType()),
     ]
 )
@@ -91,6 +97,8 @@ PENDING = StructType(
         StructField("priority", IntegerType()),
         StructField("seq", LongType()),
         StructField("attempt", IntegerType()),
+        StructField("task_id", StringType()),
+        StructField("actions", StringType()),
         StructField("salt", IntegerType()),
     ]
 )
@@ -107,6 +115,10 @@ FETCHES = StructType(
         StructField("attempt", IntegerType()),
         StructField("priority", IntegerType()),
         StructField("seq", LongType()),
+        # the submitting task's id + per-row crawler config, reference parity
+        # with submissions (3_vv8_backend_init.sql:12-18)
+        StructField("task_id", StringType()),
+        StructField("actions", StringType()),
         StructField("status", StringType()),
         StructField("psnr", DoubleType()),
         StructField("caption_ok", BooleanType()),
@@ -146,6 +158,20 @@ METRICS = StructType(
         StructField("n_failed", LongType()),
         StructField("wall_s", DoubleType()),
         StructField("rows_per_s", DoubleType()),
+    ]
+)
+
+# persisted URL-seen bloom shards (operators/bloom.py): maintained
+# incrementally by add_seeds — delta OR per ingest, O(pool) rebuild only on
+# capacity doubling
+BLOOM_STATE = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("n_bits", LongType()),
+        StructField("n_hashes", IntegerType()),
+        StructField("capacity", LongType()),
+        StructField("n_added", LongType()),
+        StructField("bits", BinaryType()),
     ]
 )
 

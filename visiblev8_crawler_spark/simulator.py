@@ -85,7 +85,14 @@ def simulate_campaign(
             res.rejected.append((row["seq"], row["url"], "duplicate"))
             continue
         seen_canon.add(c["canon_url"])
-        item = {**c, "seq": row["seq"], "priority": row.get("priority", 0), "attempt": 1}
+        item = {
+            **c,
+            "seq": row["seq"],
+            "priority": row.get("priority", 0),
+            "attempt": 1,
+            "task_id": row.get("task_id"),
+            "actions": row.get("actions"),
+        }
         if _robots_blocked(item, robots):
             res.rejected.append((row["seq"], row["url"], "robots"))
             continue
@@ -141,6 +148,8 @@ def simulate_campaign(
                     "image_id": image_id,
                     "wave_id": wave_id,
                     "attempt": item["attempt"],
+                    "task_id": item.get("task_id"),
+                    "actions": item.get("actions"),
                     "status": v.status,
                     "psnr": v.psnr,
                     "caption_ok": v.caption_ok,

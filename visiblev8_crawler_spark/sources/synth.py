@@ -130,6 +130,9 @@ def frontier_row(i: int, n_images: int, n_hosts: int) -> dict:
         "host": host,
         "priority": priority,
         "task_id": "campaign-0",
+        # per-row crawler config passthrough (~1/3 of rows carry an actions
+        # JSON, like reference submissions; the rest null)
+        "actions": f'{{"click": "#b{hv % 9}"}}' if hv % 3 == 0 else None,
     }
 
 
@@ -309,6 +312,7 @@ def generate_frontier_spark(spark, n_urls: int, n_images: int, n_hosts: int, par
             StructField("host", StringType()),
             StructField("priority", IntegerType()),
             StructField("task_id", StringType()),
+            StructField("actions", StringType()),
         ]
     )
 

@@ -60,6 +60,7 @@ TABLE_SCHEMAS = {
     "fetches": schemas.FETCHES,
     "rejected": schemas.REJECTED,
     "metrics": schemas.METRICS,
+    "bloom": schemas.BLOOM_STATE,
 }
 
 
@@ -209,9 +210,9 @@ def run_campaign(
     # heap gives out). The phase-1 politeness window therefore pays one
     # hash exchange of the fresh pool per wave in local mode; on a real
     # cluster the pool lives as an Iceberg table bucketed by (host, salt)
-    # and storage-partitioned reads make that exchange disappear.
-    # ``retry_pool`` (tiny, bounded by one wave's failures) bypasses phase 1
-    # inside select_wave.
+    # and storage-partitioned reads make that exchange disappear. Retries
+    # (tiny, bounded by one wave's failures) are unioned into this pending
+    # frame at commit time (_wave_loop) and ride the same selection path.
     P = spark.sparkContext.defaultParallelism
     _warm_python_workers(spark)
     salt_width = (
@@ -352,11 +353,27 @@ def add_seeds(
     (-> schedulable); already-crawled urls are rejected as 'cached',
     already-enqueued ones as 'enqueued', plus the usual invalid/duplicate/
     robots from preparation. Returns the per-disposition counts.
-    """
-    from ..operators.bloom import build_bloom, with_bloom_maybe
 
-    base = cat.read("frontier_prepared").agg(F.max("seq")).collect()[0][0]
-    base = int(base) + 1 if base is not None else 0
+    Bloom maintenance is INCREMENTAL: the bitmap shards live in the catalog
+    ('bloom' table), each ingest ORs in a delta built over just its own new
+    rows (O(batch)), and the updated shards publish in the same atomic
+    commit as the frontier append. A full O(pool) rebuild happens only when
+    n_added outgrows the sized capacity (doubling ⇒ amortized O(1) per row)
+    — never per ingest, which at 10^10 seen URLs is the difference between
+    a 12 GB-bitmap pass per batch and a few MB of delta OR.
+    """
+    from ..operators.bloom import (
+        bloom_from_rows,
+        bloom_or_delta,
+        bloom_to_rows,
+        build_bloom,
+        with_bloom_maybe,
+    )
+
+    base = cat.meta("next_seq")
+    if base is None:  # pre-meta catalog: derive once from the pool, column-pruned
+        got = cat.read("frontier_prepared").agg(F.max("seq")).collect()[0][0]
+        base = int(got) + 1 if got is not None else 0
 
     prep = prepare_frontier(
         new_frontier.withColumn("seq", F.col("seq") + F.lit(base)), robots
@@ -367,7 +384,19 @@ def add_seeds(
     # the "crawl cache": every url in the pool is either crawled (cached) or
     # awaiting crawl (enqueued); url_seen ⊆ pool so one bloom covers both.
     pool_urls = pool_df(cat).select("canon_url")
-    bf = build_bloom(pool_urls, "canon_url", fpp=fpp)
+    state_rows = cat.read("bloom").collect() if cat.file_sets("bloom") else []
+    if state_rows:
+        bf, capacity, n_added = bloom_from_rows(state_rows)
+        if n_added > capacity:  # outgrown: the amortized doubling rebuild
+            n_added = pool_urls.count()
+            capacity = max(2 * n_added, 1024)
+            bf = build_bloom(pool_urls, "canon_url", capacity=capacity, fpp=fpp)
+    else:
+        # first ingest on this catalog: one-time build over the pool with 2x
+        # headroom so subsequent ingests stay delta-only
+        n_added = pool_urls.count()
+        capacity = max(2 * n_added, 1024)
+        bf = build_bloom(pool_urls, "canon_url", capacity=capacity, fpp=fpp)
     flagged = with_bloom_maybe(cand, bf).persist()
     clean = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = (
@@ -399,15 +428,31 @@ def add_seeds(
             .collect()
         },
     }
+    # incremental bloom: OR a delta over just this batch's newly-pooled rows
+    # (O(batch)); the updated shards and the frontier append publish in ONE
+    # atomic commit, so the bloom can never disagree with the pool
+    new_pool_urls = ingested.filter(F.col("reason").isNull()).select("canon_url")
+    bf = bloom_or_delta(bf, new_pool_urls)
+    n_added += counts["added"]
+    next_seq = int(
+        prep.agg(F.max("seq")).collect()[0][0] or (base - 1)
+    ) + 1  # batch-sized agg, not pool-sized
+
     all_new = schemas.conform(batch_rejects, schemas.FRONTIER_PREPARED).unionByName(ingested)
     cat.commit(
-        f"seeds-{cat.file_sets('frontier_prepared')}",
+        f"seeds-{cat.commit_seq() + 1}",
         appends={
             "frontier_prepared": all_new,
             "rejected": schemas.conform(
                 all_new.filter(F.col("reason").isNotNull()), schemas.REJECTED
             ),
         },
+        replaces={
+            "bloom": spark.createDataFrame(
+                bloom_to_rows(bf, capacity, n_added), schemas.BLOOM_STATE
+            )
+        },
+        meta={"next_seq": next_seq},
     )
     prep.unpersist()
     flagged.unpersist()
@@ -449,6 +494,46 @@ def fetch_status(cat: ParquetCatalog, url: str) -> DataFrame:
         )
     )
     return attempts.unionByName(rejected).orderBy("attempt")
+
+
+def fetch_artifacts(cat: ParquetCatalog, images: DataFrame, url: str) -> DataFrame:
+    """Artifact retrieval (scripts/fetch.py:113-201 analog: download the
+    screenshot/HAR/raw-log blobs for a submission): every fetch attempt for
+    ``url`` joined back to its artifact bytes + typed metadata. A NOT_FOUND
+    attempt comes back with null bytes — the 404 the reference CLI prints.
+
+    Scale shape: the fetches filter is a pushed-down predicate on canon_url,
+    and the (tiny) matching ledger rows broadcast against the images table,
+    so the blob scan prunes to the matching image_id rows — same join
+    strategy as the fetch plane itself (operators/fetch.py)."""
+    from ..functions.urls import canonicalize
+
+    canon = canonicalize(url)["canon_url"]
+    attempts = cat.read("fetches").filter(F.col("canon_url") == canon).select(
+        "canon_url", "image_id", "attempt", "wave_id", "status", "psnr", "task_id", "actions"
+    )
+    # the preserved side of a left join can't broadcast, so prune the blob
+    # table with a broadcast semi-join first, then broadcast the (tiny)
+    # pruned rows back — identical strategy to fetch_verify
+    ids = attempts.select("image_id").where(F.col("image_id").isNotNull())
+    matched = images.join(F.broadcast(ids), "image_id", "left_semi")
+    return attempts.alias("a").join(
+        F.broadcast(matched.alias("i")), F.col("a.image_id") == F.col("i.image_id"), "left"
+    ).select(
+        "a.canon_url",
+        "a.attempt",
+        "a.wave_id",
+        "a.status",
+        "a.psnr",
+        "a.task_id",
+        "a.actions",
+        "a.image_id",
+        "i.bytes",
+        "i.fmt",
+        "i.w",
+        "i.h",
+        "i.caption",
+    ).orderBy("attempt")
 
 
 def crawl_order_df(cat: ParquetCatalog) -> DataFrame:

@@ -9,10 +9,16 @@ tumbling window with a watermark bounding lateness:
     readStream(events) -> withWatermark(ts) -> groupBy(window(ts), type)
       -> count/sum -> sink
 
-Late rows inside the watermark update their window; rows later than the
-watermark are dropped — the exact semantics a fetch-metrics stream needs when
-executor clocks skew (a worker reporting a fetch 10 minutes late must not
-reopen a closed wave's accounting).
+Mode semantics (be precise, they differ): in ``update``/``append`` output
+modes the watermark bounds state and drops rows later than the watermark —
+the semantics a long-lived fetch-metrics stream needs when executor clocks
+skew (a worker reporting a fetch 10 minutes late must not reopen a closed
+wave's accounting). ``run_windowed_stream`` below deliberately uses
+``complete`` mode + a memory sink as the TEST-ONLY shape: complete mode
+keeps all window state and the watermark is inert, which is exactly what
+lets the batch-equivalence test compare the full result; a production
+deployment swaps in outputMode('update') with a table sink so state stays
+bounded by the watermark.
 
 Determinism note: with Trigger.AvailableNow over a static directory the
 result equals the batch groupBy over the same files (tested in
@@ -53,9 +59,11 @@ def run_windowed_stream(
     width: str = "1 hour",
 ):
     """File-stream the events table, aggregate per (tumbling window, type)
-    with a watermark, emit to an in-memory sink (swap for a table sink in
-    production). Returns the StreamingQuery; results under view name
-    'windowed_events'."""
+    with a watermark, emit to an in-memory sink. TEST SHAPE: complete mode
+    keeps all windows (watermark inert) so the result is comparable to the
+    batch twin; production = outputMode('update') + table sink, where the
+    watermark evicts closed windows and bounds state (see module docstring).
+    Returns the StreamingQuery; results under view name 'windowed_events'."""
     schema = spark.read.parquet(events_dir).schema
     stream = (
         spark.readStream.schema(schema)
