@@ -224,6 +224,61 @@ def image_resize_fp(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# perceptual-hash similarity search (multimodal ANN over the crawl payload)
+# ---------------------------------------------------------------------------
+
+_PHASH_QUERY_DOC = 0
+_PHASH_TOPK = 10
+
+
+def _dim_py(doc_id: int, pos: int) -> int:
+    """Python mirror of _dim_col (same formula as the DuckDB oracle)."""
+    import hashlib
+
+    return 16 + (ord(hashlib.md5(str(doc_id).encode()).hexdigest()[pos - 1]) % 3) * 8
+
+
+@q(
+    "image_phash_topk",
+    f"""
+    WITH q AS (SELECT phash AS qp FROM '{_GOLDEN_DIR}/image_stats.parquet'
+               WHERE doc_id = {_PHASH_QUERY_DOC})
+    SELECT g.doc_id, CAST(bit_count(xor(g.phash, q.qp)) AS INT) AS hamming
+    FROM '{_GOLDEN_DIR}/image_stats.parquet' g
+    JOIN documents d ON g.doc_id = d.doc_id, q
+    WHERE g.doc_id != {_PHASH_QUERY_DOC}
+    ORDER BY hamming ASC, g.doc_id ASC
+    LIMIT {_PHASH_TOPK}
+    """,
+    "multimodal similarity search: decode every image (real kernel path), 64-bit perceptual "
+    "hash, rank by Hamming distance to the query image's phash (bit_count(xor) — JVM-side, "
+    "whole-stage codegen) -> top-k via TakeOrderedAndProject; the image-payload analog of "
+    "embedding_cosine_topk. Oracle = single-process golden phashes + the same Hamming rank.",
+)
+def image_phash_topk(spark, sf_dir):
+    # query phash computed driver-side from the same pure function of doc_id
+    # (the 'collect the query row' step of any ANN query, without re-running
+    # a kernel pass for one row)
+    qp = codecs.phash64(
+        codecs.pixels_for(
+            f"doc_{_PHASH_QUERY_DOC}",
+            _dim_py(_PHASH_QUERY_DOC, 1),
+            _dim_py(_PHASH_QUERY_DOC, 2),
+        )
+    )
+    phashes = _with_images(spark, sf_dir).mapInPandas(_stats_kernel, _STATS_SCHEMA)
+    return (
+        phashes.filter(F.col("doc_id") != _PHASH_QUERY_DOC)
+        .withColumn(
+            "hamming", F.bit_count(F.col("phash").bitwiseXOR(F.lit(qp))).cast("int")
+        )
+        .orderBy(F.col("hamming").asc(), F.col("doc_id").asc())
+        .limit(_PHASH_TOPK)
+        .select("doc_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
 # frame sampling over a video-like container
 # ---------------------------------------------------------------------------
 # Container format "VSEQ": 4-byte magic + u32 frame count + per-frame
