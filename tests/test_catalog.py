@@ -57,3 +57,49 @@ def test_manifest_swap_is_atomic_unit(spark, tmp_path_factory):
             assert os.path.isdir(p), p
     assert m["watermark"] == 0 and m["prepared"] is True
     assert {(r["k"], r["v"]) for r in cat.read("u").collect()} == {("x", 9)}
+
+
+def test_compaction_multiple_cycles(spark, tmp_path_factory):
+    """Periodic compaction at a fixed threshold must not reuse a tag across
+    cycles (round-1 bug: 'compact-{file_sets}' collided, overwriting the
+    path the lazy snapshot was reading). Three full append->compact cycles,
+    contents exact after each."""
+    root = str(tmp_path_factory.mktemp("cat_compact"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    want = set()
+    for cycle in range(3):
+        for i in range(2):  # two appends -> file_sets hits the threshold
+            row = (f"c{cycle}", i)
+            cat.commit(f"a{cycle}-{i}", appends={"t": spark.createDataFrame([row], T)})
+            want.add(row)
+        assert cat.compact("t", min_file_sets=2) is True
+        assert cat.file_sets("t") == 1
+        assert _rows(cat) == want, f"cycle {cycle} lost rows"
+    # tags were unique: three distinct compact paths existed over time
+    assert cat.commit_seq() == 9  # 6 appends + 3 compactions
+
+
+def test_concurrent_commits_serialize(spark, tmp_path_factory):
+    """Two committers racing (the ingest-stream-next-to-wave-loop shape):
+    every file set survives — the flock serializes the manifest
+    read-modify-write, so no commit can publish over a stale manifest."""
+    import threading
+
+    root = str(tmp_path_factory.mktemp("cat_race"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    errs = []
+
+    def committer(tag_prefix, lo, hi):
+        try:
+            c = ParquetCatalog(spark, root, {"t": T})  # separate instance, same root
+            for i in range(lo, hi):
+                c.commit(f"{tag_prefix}-{i}", appends={"t": spark.createDataFrame([(tag_prefix, i)], T)})
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    a = threading.Thread(target=committer, args=("wave", 0, 5))
+    b = threading.Thread(target=committer, args=("ingest", 100, 105))
+    a.start(); b.start(); a.join(); b.join()
+    assert not errs
+    assert _rows(cat) == {("wave", i) for i in range(5)} | {("ingest", i) for i in range(100, 105)}
+    assert cat.file_sets("t") == 10, "a racing commit lost a manifest swap"

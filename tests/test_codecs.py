@@ -19,6 +19,55 @@ def test_png_rejects_truncation():
         codecs.decode_png(data[: len(data) // 2])
 
 
+def _encode_png_with_filters(arr: np.ndarray, row_filters: list[int]) -> bytes:
+    """Forward-filter each scanline per the PNG spec (the encode side our
+    filter-0-only encoder never exercises) so decode_png's filter 1-4
+    reconstruction can be checked against ground truth."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+    bpp, stride = 3, w * 3
+    lines = arr.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        cur, f = lines[y], row_filters[y % len(row_filters)]
+        a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - a
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((a + prev) >> 1)
+        else:  # paeth
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pr = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            enc = cur - pr
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_decode_all_filters(filters):
+    """decode_png reconstructs scanlines under every PNG filter type — the
+    real-world-PNG path our own encoder (filter 0 only) never produces."""
+    a = codecs.pixels_for(f"tf{filters[0]}", 25, 17)  # odd sizes on purpose
+    assert np.array_equal(codecs.decode_png(_encode_png_with_filters(a, filters)), a)
+
+
 def test_lossy_meets_psnr_gate():
     a = codecs.pixels_for("t3", 32, 32)
     d = codecs.decode_lossy(codecs.encode_lossy(a))

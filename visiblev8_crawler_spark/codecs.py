@@ -113,25 +113,32 @@ def decode_png(data: bytes) -> np.ndarray:
         prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
         if f == 0:
             rec = cur
-        elif f == 2:  # Up
+        elif f == 2:  # Up — vectorized
             rec = (cur + prev) & 0xFF
-        else:  # Sub / Average / Paeth need left pixel -> sequential in x
-            rec = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                if f == 1:
-                    rec[x] = (cur[x] + a) & 0xFF
-                elif f == 3:
-                    rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
-                elif f == 4:
+        elif f == 1:  # Sub — a per-channel prefix sum: rec[x] = cumsum mod 256
+            rec = np.empty(stride, np.int32)
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(cur[c::bpp], dtype=np.int64) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential in x by definition;
+            # plain-int Python loop (numpy scalar indexing is ~10x slower)
+            cl, pl = cur.tolist(), prev.tolist()
+            rl = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    a = rl[x - bpp] if x >= bpp else 0
+                    rl[x] = (cl[x] + ((a + pl[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = rl[x - bpp] if x >= bpp else 0
+                    b = pl[x]
+                    c = pl[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec[x] = (cur[x] + pr) & 0xFF
-                else:
-                    raise ValueError(f"bad PNG filter {f}")
+                    rl[x] = (cl[x] + pr) & 0xFF
+            rec = np.asarray(rl, dtype=np.int32)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
         out[y] = rec.astype(np.uint8)
     return out.reshape(h, w, 3)
 

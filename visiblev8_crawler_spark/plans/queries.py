@@ -316,6 +316,11 @@ def case_bucket_classify(spark, sf_dir):
     "A7: existence-capped count (resend_script_ids.py:168-184)",
 )
 def capped_count(spark, sf_dir):
+    # deliberate driver-side action: A7's semantics ARE "stop scanning after
+    # the cap" — limit(1000).count() plans a LocalLimit that short-circuits
+    # the scan, and the 1-row result is re-lifted only so the driver gate
+    # gets a DataFrame. Not a hot-path pattern; do not imitate for large
+    # results (see PLANS.md on collect discipline).
     n = load(spark, sf_dir, "lineitem").limit(1000).count()
     return spark.createDataFrame([(n,)], "n long")
 
