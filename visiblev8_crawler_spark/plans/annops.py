@@ -303,6 +303,63 @@ def embedding_lsh_neardup_pairs(spark, sf_dir):
 
 
 @q(
+    "embedding_neardup_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_banded_neardup_sql(bands=4, r=4, tau=0.30)}),
+    edges AS (SELECT vec_a AS s, vec_b AS t FROM pairs
+              UNION ALL SELECT vec_b AS s, vec_a AS t FROM pairs),
+    reach(v, l) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v
+    )
+    SELECT v AS vec_id, CAST(MIN(l) AS BIGINT) AS component FROM reach GROUP BY v
+    """,
+    "near-dup CLUSTERING — the dedup-pipeline step after pair generation: connected "
+    "components over the banded-LSH near-dup graph via iterative min-label propagation "
+    "(converges in O(diameter) joined rounds; at 100 TB swap in large-star/small-star to "
+    "bound round count). component = min vec_id reachable, so 'keep the canonical doc per "
+    "component' is a groupBy away. Oracle replays the same closure with a recursive CTE.",
+)
+def embedding_neardup_components(spark, sf_dir):
+    pairs = _banded_neardup_spark(spark, sf_dir, bands=4, r=4, tau=0.30).select(
+        "vec_a", "vec_b"
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("vec_b"), F.col("vec_a")))
+        .toDF("s", "t")
+        .localCheckpoint(eager=True)  # pairs plan is expensive; compute once
+    )
+    labels = (
+        load(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id"), F.col("vec_id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(25):  # O(diameter) bound; breaks at fixpoint below
+        msgs = edges.join(
+            labels.withColumnRenamed("vec_id", "s"), "s"
+        ).select(F.col("t").alias("vec_id"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("vec_id")
+            .agg(F.min("component").alias("component"))
+            # truncate lineage each round or the plan nests one join+agg
+            # deeper per iteration (see memory: persist-chains leak)
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vec_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("vec_id", "component")
+
+
+@q(
     "embedding_neardup_pairs",
     _banded_neardup_sql(bands=4, r=4, tau=0.30),
     "embedding near-dup, canonical banded sign-LSH: 4 bands x 4 bits, bucket key (band, signature), union bands + distinct pairs, exact-cosine verify at tau=0.30; replaces the round-1 label-bucket crutch (all-pairs-within-label was quadratic in label frequency)",

@@ -32,6 +32,11 @@ Training-pipeline operators (first-class per the build brief):
   simhash                        -> simhash_docs
   ANN brute-force cosine top-k   -> embedding_cosine_topk
   embedding near-dup pairs       -> embedding_neardup_pairs
+  near-dup clustering (CC)       -> embedding_neardup_components
+  sessionization (gap windows)   -> events_sessionize
+  train/valid/test split         -> doc_train_split (textops)
+  TF-IDF top terms per source    -> tfidf_top_terms (textops)
+  phash similarity top-k (image) -> image_phash_topk (imageops)
 
 Float discipline: every double output is rounded in BOTH engines so the
 driver's value-hash comparison is stable; counts/keys stay exact integers.
@@ -387,6 +392,57 @@ def tumbling_window_events(spark, sf_dir):
             "event_type",
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@q(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec,
+             CASE WHEN lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                     - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    s AS (SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS sess FROM o)
+    SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(tsec) AS start_epoch, MAX(tsec) AS end_epoch,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sess
+    """,
+    "gap-based sessionization (30-min inactivity closes a session) — the classic "
+    "large-scale event-pipeline operator: lag + windowed running count assigns session "
+    "ids, then one groupBy rolls sessions up. One shuffle on user_id serves both the "
+    "window and the aggregate (same partitioning reused). Gap math on "
+    "second-truncated epochs so both engines floor identically.",
+)
+def events_sessionize(spark, sf_dir):
+    # ts is TIMESTAMP_NTZ (not directly castable to long in Spark 4);
+    # date_trunc('second') -> cast matches DuckDB's epoch(date_trunc(...))
+    ev = load(spark, sf_dir, "events").withColumn(
+        "tsec", F.date_trunc("second", "ts").cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("tsec").over(w)
+    is_start = F.when(prev.isNull() | ((F.col("tsec") - prev) > 1800), 1).otherwise(0)
+    sess = F.sum(is_start).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("sess", sess)
+        .groupBy("user_id", F.col("sess").cast("long").alias("session_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("tsec").alias("start_epoch"),
+            F.max("tsec").alias("end_epoch"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
     )
 
 

@@ -485,3 +485,71 @@ def simhash_docs(spark, sf_dir):
         term = F.when(F.col(f"b{k}") > 0, 1 << k).otherwise(0)
         val = term if val is None else val + term
     return s.select("doc_id", val.alias("simhash16"))
+
+
+@q(
+    "doc_train_split",
+    """
+    SELECT doc_id,
+           CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 8
+                THEN 'train'
+                WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 9
+                THEN 'valid' ELSE 'test' END AS split
+    FROM documents
+    """,
+    "deterministic train/valid/test split (80/10/10 by md5 bucket) — the assignment is a "
+    "pure function of the key, so it is reproducible across runs, engines and cluster "
+    "sizes, and joins back to any derived table without a stored mapping. Map-only.",
+)
+def doc_train_split(spark, sf_dir):
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 10
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(bucket < 8, "train").when(bucket < 9, "valid").otherwise("test").alias("split"),
+    )
+
+
+@q(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tf AS (SELECT source, tok, COUNT(*) AS tf FROM tok GROUP BY source, tok),
+    df AS (SELECT tok, COUNT(DISTINCT source) AS df FROM tok GROUP BY tok),
+    n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+      SELECT tf.source, tf.tok,
+             ROUND(tf.tf * ln(n.n_sources * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (tok), n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY tfidf DESC, tok ASC) AS rnk
+      FROM scored)
+    SELECT source, CAST(rnk AS INT) AS rank, tok, tfidf
+    FROM ranked WHERE rnk <= 3
+    """,
+    "TF-IDF top terms per source — the corpus-analysis composite: explode -> term "
+    "frequencies (one shuffle on (source, tok)) -> document frequencies (broadcastable "
+    "tok dimension) -> idf join -> per-source top-k window. The df side is orders of "
+    "magnitude smaller than the token stream, so the join broadcasts at scale.",
+)
+def tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    tf = tok.groupBy("source", "tok").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("source").alias("df"))
+    n_sources = docs.select("source").distinct().count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "source",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", F.col("rank").cast("int").alias("rank"), "tok", "tfidf")
+    )
