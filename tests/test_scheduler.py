@@ -281,6 +281,31 @@ def test_crawl_delay_budget(spark, world, tmp_path_factory):
     assert max(fast_counts) == 50  # delay 1 s -> cap is max_per_wave
 
 
+def test_auto_compaction_preserves_ledger(spark, world, spark_run, tmp_path_factory):
+    """compact_every folds the per-wave fetches file sets during the run
+    (Iceberg rewrite_data_files analog): final tables equal the
+    uncompacted campaign's exactly, the set count stays bounded, and a
+    kill+resume across a compaction boundary still drains correctly."""
+    root = str(tmp_path_factory.mktemp("cat_autocompact"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cfg = CrawlConfig(batch_size=BATCH, compact_every=3)
+
+    # kill after 4 waves (past the first compaction at wave 2), then resume
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images, cfg, stop_after_waves=4
+    )
+    cat = scheduler.run_campaign(spark, root, frontier, robots, images, cfg)
+
+    assert cat.file_sets("fetches") <= cfg.compact_every, "sets unbounded"
+    keys = ["canon_url", "attempt", "wave_id", "order_in_wave", "status"]
+    a = {tuple(r[k] for k in keys) for r in cat.read("fetches").collect()}
+    b = {tuple(r[k] for k in keys) for r in spark_run.read("fetches").collect()}
+    assert a == b, "compaction changed the ledger contents"
+    assert scheduler.pending_df(cat).count() == 0
+
+
 def test_kill_resume_identical(spark, world, spark_run, tmp_path_factory):
     """Stop after one wave (kill analog), resume with a fresh call: final
     tables byte-equal to the uninterrupted campaign."""

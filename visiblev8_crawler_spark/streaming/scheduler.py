@@ -144,6 +144,12 @@ class CrawlConfig:
     # per-fetch decode budget in ms (reference hard timeout, vv8_worker/
     # tasks.py:131-141); None = no budget. TIMEOUT rows are retryable.
     fetch_timeout_ms: float | None = None
+    # fold the fetches table's accumulated per-wave file sets into one every
+    # N waves (Iceberg rewrite_data_files analog): a 10^10 campaign appends
+    # one set per wave, and reads degrade linearly in set count without it.
+    # 0 disables. Runs AFTER the wave commit, as its own atomic commit, so a
+    # kill between them loses nothing.
+    compact_every: int = 64
 
 
 def open_catalog(spark: SparkSession, root: str) -> ParquetCatalog:
@@ -321,6 +327,13 @@ def _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_
             .localCheckpoint(eager=True)
         )
         selected.unpersist()
+
+        # periodic maintenance: compaction is its own atomic commit after
+        # the wave publishes, so it can never mix wave data with rewrite
+        # data; its cost is charged to this wave's carry_s like the commit
+        if cfg.compact_every and (wave_id + 1) % cfg.compact_every == 0:
+            cat.compact("fetches", min_file_sets=cfg.compact_every)
+
         carry_s = time.perf_counter() - t_commit
         wave_id += 1
         waves_done += 1
