@@ -39,6 +39,16 @@ HEADLINE = [
     "image_decode_dims",
 ]
 
+# round-2 additions: reported under "extra_queries"/"extra_sec", never mixed
+# into headline_suite_sec (cross-round comparability)
+EXTRA = [
+    "embedding_neardup_components",
+    "events_sessionize",
+    "tfidf_top_terms",
+    "json_map_features",
+    "image_phash_topk",
+]
+
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget
 # scale) lets each wave actually reach batch_size; wave fixed-cost then
 # amortizes the way it would at cluster scale (10^7-row waves)
@@ -134,6 +144,14 @@ def main() -> None:
         qs[name](spark, sf_dir).collect()
         per_query[name] = round(time.perf_counter() - t0, 3)
 
+    # round-2 operators, timed OUTSIDE the headline so headline_suite_sec
+    # stays directly comparable across rounds
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        extra[name] = round(time.perf_counter() - t0, 3)
+
     crawl = _crawl_bench(spark, cpus)
     total = round(sum(per_query.values()), 3)
     print(
@@ -143,6 +161,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "extra_queries": extra,
+                "extra_sec": round(sum(extra.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **crawl,
             }

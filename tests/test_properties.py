@@ -46,3 +46,63 @@ def test_bloom_never_false_negative(h1s, h2_seed):
     bf = BloomFilter(m, k, np.zeros(m // 8, dtype=np.uint8))
     bf.add_hashes(h1, h2)
     assert bf.maybe_contains(h1, h2).all()
+
+
+# --- PSL eTLD+1 properties ----------------------------------------------
+
+label = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=8)
+# hosts built from random labels plus real PSL suffix parts, so both the
+# default-rule path and every rule class get exercised
+suffix_part = st.sampled_from(
+    ["com", "co.uk", "ac.uk", "com.au", "act.edu.au", "ck", "www.ck",
+     "kawasaki.jp", "city.kawasaki.jp", "github.io", "example", "co", "uk"]
+)
+host_strategy = st.builds(
+    lambda labels, suf: ".".join(labels + ([suf] if suf else [])),
+    st.lists(label, min_size=0, max_size=4),
+    st.one_of(suffix_part, st.just("")),
+)
+
+
+@given(host_strategy)
+@settings(max_examples=300, deadline=None)
+def test_etld1_invariants(host):
+    """For ANY host: etld1_py never throws; the result is '' or a suffix of
+    the host made of whole labels; and it is idempotent (etld1 of an etld1
+    is itself — a registrable domain is its own registrable domain)."""
+    from visiblev8_crawler_spark.functions.psl import etld1_py
+
+    e = etld1_py(host)
+    if e:
+        assert host == e or host.endswith("." + e), (host, e)
+        assert etld1_py(e) == e, (host, e)
+
+
+def test_etld1_spark_python_parity_random(spark):
+    """The InSet expression tree equals the Python mirror on a large random
+    host sample (hypothesis seeds a fixed corpus so the Spark job runs once)."""
+    import pyspark.sql.functions as F
+
+    from visiblev8_crawler_spark.functions.psl import etld1_col, etld1_py
+
+    corpus = []
+    # deterministic pseudo-random hosts over the same alphabet + suffix parts
+    import hashlib
+
+    parts = ["com", "co.uk", "ac.uk", "com.au", "act.edu.au", "ck", "www.ck",
+             "kawasaki.jp", "city.kawasaki.jp", "github.io", "example", "co", "uk", ""]
+    for i in range(600):
+        hv = int(hashlib.md5(f"pslhost:{i}".encode()).hexdigest(), 16)
+        n = hv % 4
+        labels = [f"l{(hv >> (8 * (j + 1))) % 997}" for j in range(n)]
+        suf = parts[(hv >> 40) % len(parts)]
+        host = ".".join(labels + ([suf] if suf else []))
+        corpus.append(host)
+    corpus = [h for h in corpus if h]
+    df = spark.createDataFrame([(h,) for h in corpus], "host string")
+    got = {
+        r["host"]: r["e"]
+        for r in df.select("host", etld1_col(F.col("host")).alias("e")).collect()
+    }
+    for h in corpus:
+        assert got[h] == etld1_py(h), h

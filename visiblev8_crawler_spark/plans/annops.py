@@ -335,12 +335,24 @@ def embedding_neardup_components(spark, sf_dir):
         .select(F.col("vec_id"), F.col("vec_id").alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(25):  # O(diameter) bound; breaks at fixpoint below
+    for _ in range(25):  # O(log n) with pointer jumping; breaks at fixpoint
         msgs = edges.join(
             labels.withColumnRenamed("vec_id", "s"), "s"
         ).select(F.col("t").alias("vec_id"), "component")
+        # pointer jumping (label(label(v))): halves the remaining distance to
+        # the component root each round, so convergence is O(log n) rounds
+        # instead of O(diameter) — each round is one extra n-row self-join,
+        # a bargain against diameter-many full rounds at scale
+        jump = (
+            labels.alias("a")
+            .join(
+                labels.alias("b"), F.col("a.component") == F.col("b.vec_id")
+            )
+            .select(F.col("a.vec_id").alias("vec_id"), F.col("b.component").alias("component"))
+        )
         new_labels = (
             labels.unionByName(msgs)
+            .unionByName(jump)
             .groupBy("vec_id")
             .agg(F.min("component").alias("component"))
             # truncate lineage each round or the plan nests one join+agg
