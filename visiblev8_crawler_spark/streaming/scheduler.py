@@ -374,6 +374,13 @@ def add_seeds(
     n_added outgrows the sized capacity (doubling ⇒ amortized O(1) per row)
     — never per ingest, which at 10^10 seen URLs is the difference between
     a 12 GB-bitmap pass per batch and a few MB of delta OR.
+
+    The remaining pool-sized work per ingest is the exact-confirm join for
+    bloom-POSITIVE rows only (a columnar canon_url scan of the pool as the
+    join's build side). At 10^10 that scan prunes via the join's runtime
+    filters and, on Iceberg, bucket-pruned storage-partitioned reads; the
+    bloom guarantees the fraction of rows that ever reach it is
+    (dup_rate + fpp) of the batch.
     """
     from ..operators.bloom import (
         bloom_from_rows,

@@ -51,6 +51,40 @@ def windowed_event_counts(events: DataFrame, width: str = "1 hour") -> DataFrame
     )
 
 
+def run_dedup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+):
+    """Streaming exact dedup (the D1 seen-set as a STREAM operator):
+    ``dropDuplicatesWithinWatermark`` keys state on event_id and the
+    watermark bounds how long a key is remembered — the right semantics for
+    an at-least-once transport (a replayed event inside the watermark is
+    dropped; state does not grow forever, unlike an unbounded
+    dropDuplicates). Batch-equivalence under Trigger.AvailableNow is tested
+    in tests/test_stream_windows.py. Returns the StreamingQuery; results
+    under view name 'dedup_events'."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.select("event_id", "user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_events")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_windowed_stream(
     spark: SparkSession,
     events_dir: str,
