@@ -256,13 +256,29 @@ def _banded_neardup_spark(spark, sf_dir, bands: int, r: int, tau: float) -> Data
             for i in range(bands)
         ]
     )
+    # norms precomputed map-side (n*b rows), NOT per candidate pair: the
+    # pair join emits ~b*n^2/2^r rows and recomputing two 64-dim norms per
+    # pair would dominate the scoring cost. Float result is identical (same
+    # expression over the same values, just evaluated once per vector).
     ex = emb.select(
-        "vec_id", "embedding", F.explode(band_structs).alias("bs")
-    ).select("vec_id", "embedding", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a = ex.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "band", "sig")
-    b = ex.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "band", "sig")
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        F.explode(band_structs).alias("bs"),
+    ).select(
+        "vec_id", "embedding", "nrm",
+        F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+    )
+    a = ex.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "band", "sig",
+    )
+    b = ex.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "band", "sig",
+    )
     pairs = a.join(b, ["band", "sig"]).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     # a pair colliding in >1 band appears once per band with an identical
     # rounded cosine -> distinct() is the union-of-bands dedup
     return (
