@@ -60,6 +60,15 @@ def test_fetch_verdict_equality(sim, spark_run):
     assert got == want
     # the per-row config passthrough is real: some ledger rows carry actions
     assert any(r[2] is not None and r[3] is not None for r in got.values())
+    # retry-without-actions (vv8_worker/tasks.py:149-158): every attempt-2
+    # row crawls the direct URL with actions reset to None
+    second = [(k, v) for k, v in got.items() if k[1] == 2]
+    assert second, "campaign must exercise the retry path"
+    assert all(v[3] is None for _, v in second)
+    # ...and at least one retried URL HAD actions on its first attempt
+    assert any(
+        got[(url, 1)][3] is not None for (url, a), _ in second if (url, 1) in got
+    )
 
 
 def test_rejected_equality(sim, spark_run):

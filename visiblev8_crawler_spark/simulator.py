@@ -161,7 +161,9 @@ def simulate_campaign(
             else:
                 n_failed += 1
                 if v.status in RETRYABLE and item["attempt"] == 1:
-                    next_retries.append({**item, "attempt": 2})
+                    # retry crawls the direct URL with actions reset to None
+                    # (vv8_worker/tasks.py:149-158)
+                    next_retries.append({**item, "attempt": 2, "actions": None})
 
         res.metrics.append(
             {"wave_id": wave_id, "n_attempted": len(selected), "n_ok": n_ok, "n_failed": n_failed}

@@ -117,8 +117,12 @@ def pending_df(cat: ParquetCatalog, salt_width: int = 8) -> DataFrame:
             "left_anti",
         )
     )
-    retries = pool.join(retry_urls, "canon_url", "left_semi").withColumn(
-        "attempt", F.lit(2)
+    # retry-without-actions (reference parity: the retry crawls the direct
+    # URL with actions reset to None, vv8_worker/tasks.py:149-158)
+    retries = (
+        pool.join(retry_urls, "canon_url", "left_semi")
+        .withColumn("attempt", F.lit(2))
+        .withColumn("actions", F.lit(None).cast("string"))
     )
     return schemas.conform(fresh.unionByName(retries), schemas.PENDING)
 
@@ -315,9 +319,10 @@ def _wave_loop(spark, cat, robots, images, cfg, stop_after_waves, pending, wave_
             .select("canon_url")
         )
         new_retries = schemas.conform(
-            selected.join(F.broadcast(bad), "canon_url", "left_semi").withColumn(
-                "attempt", F.lit(2)
-            ),
+            selected.join(F.broadcast(bad), "canon_url", "left_semi")
+            .withColumn("attempt", F.lit(2))
+            # retry-without-actions (vv8_worker/tasks.py:149-158)
+            .withColumn("actions", F.lit(None).cast("string")),
             schemas.PENDING,
         )
         pending = (
