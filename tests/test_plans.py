@@ -1,0 +1,105 @@
+"""Physical-plan regression guards (PLANS.md made executable): the plan
+properties the engine's 100 TB story depends on must survive refactors —
+a wrong-but-green plan (extra exchange, lost broadcast, unpushed filter)
+is exactly the regression correctness tests cannot catch."""
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_assignment_no_shuffle(spark):
+    """PLANS.md §5: centroid assignment is a map-only argmax — zero
+    Exchange and zero Window nodes before the top-k."""
+    df = entry_mod.queries()["embedding_ivf_topk"](spark, SF_DIR)
+    p = _plan(df)
+    assert p.count("Exchange") == 0, p
+    assert p.count("Window") == 0, p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_topk_plans_as_take_ordered(spark):
+    """T1-T3: ORDER BY .. LIMIT k must plan as distributed top-k, not a
+    full sort."""
+    p = _plan(entry_mod.queries()["top_k_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.replace("TakeOrdered", ""), p
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """PLANS.md §3: the dimension joins broadcast (no SortMergeJoin), and
+    the lineitem scan prunes to the 3 needed columns."""
+    p = _plan(entry_mod.queries()["star_join_revenue"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "SortMergeJoin" not in p, p
+    import re
+
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", p)
+    assert m, "no lineitem ReadSchema found"
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_extendedprice", "l_discount"}, cols
+
+
+def test_filters_push_to_scan(spark):
+    """F8/F9/F11: the BETWEEN / IN / IS NOT NULL predicates reach the
+    parquet scan as PushedFilters."""
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        p = _plan(entry_mod.queries()["between_in_filters"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert "PushedFilters" in p
+    pushed = p.split("PushedFilters:")[1].splitlines()[0]
+    for frag in ("GreaterThanOrEqual(o_totalprice,1000", "In(o_orderpriority",
+                 "IsNotNull(o_orderstatus)"):
+        assert frag in pushed, (frag, pushed)
+
+
+def test_fetch_join_is_broadcast_only(spark, tmp_path_factory):
+    """operators/fetch.py: the wave⋈images join must stay broadcast on the
+    wave side (semi-prune + broadcast-back) — a SortMergeJoin here would
+    shuffle image bytes."""
+    from visiblev8_crawler_spark.operators.fetch import fetch_verify
+    from visiblev8_crawler_spark.sources import synth
+
+    images = synth.generate_images_spark(spark, 50, 4)
+    wave = spark.createDataFrame(
+        [(f"https://h{i}.example/img/img_{i:012d}", f"img_{i:012d}", f"h{i}.example",
+          0, i + 1, i % 3, 0, i + 1, "t", None)
+         for i in range(20)],
+        "canon_url string, image_id string, host string, wave_id int, "
+        "order_in_wave int, attempt int, priority int, seq long, "
+        "task_id string, actions string",
+    )
+    p = _plan(fetch_verify(wave, images))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_select_wave_single_pending_exchange(spark, world):
+    """PLANS.md §1: phase 1 is the only pending-sized exchange; the budget
+    join broadcasts the robots dimension."""
+    from visiblev8_crawler_spark import schemas
+    from visiblev8_crawler_spark.operators.dedup import prepare_frontier
+    from visiblev8_crawler_spark.operators.waves import salt_col, select_wave
+
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    prepared = prepare_frontier(frontier, robots).filter(F.col("reason").isNull())
+    pending = schemas.conform(
+        prepared.withColumn("salt", salt_col(F.col("canon_url"), 8)), schemas.PENDING
+    ).localCheckpoint(eager=True)
+    p = _plan(select_wave(pending, robots, 0, 150))
+    # exchanges: phase-1 (host,salt) hash + phase-2 host hash + the final
+    # single-partition window for order_in_wave; anything more is a leak
+    hash_exchanges = p.count("Exchange hashpartitioning")
+    assert hash_exchanges <= 2, f"{hash_exchanges} hash exchanges:\n{p}"
+    assert "BroadcastHashJoin" in p, "robots budget join must broadcast"
+    assert "SortMergeJoin" not in p, p
