@@ -72,11 +72,11 @@ def test_fetch_join_is_broadcast_only(spark, tmp_path_factory):
     images = synth.generate_images_spark(spark, 50, 4)
     wave = spark.createDataFrame(
         [(f"https://h{i}.example/img/img_{i:012d}", f"img_{i:012d}", f"h{i}.example",
-          0, i + 1, i % 3, 0, i + 1, "t", None)
+          0, i + 1, i % 3, 0, i + 1, "t", None, None)
          for i in range(20)],
         "canon_url string, image_id string, host string, wave_id int, "
         "order_in_wave int, attempt int, priority int, seq long, "
-        "task_id string, actions string",
+        "task_id string, actions string, crawler_args array<string>",
     )
     p = _plan(fetch_verify(wave, images))
     assert p.count("BroadcastHashJoin") >= 2, p

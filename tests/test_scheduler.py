@@ -49,15 +49,28 @@ def test_url_seen_equality(sim, spark_run):
 
 
 def test_fetch_verdict_equality(sim, spark_run):
+    def norm_args(a):
+        return tuple(a) if a is not None else None
+
     got = {
-        (r["canon_url"], r["attempt"]): (r["status"], r["wave_id"], r["task_id"], r["actions"])
+        (r["canon_url"], r["attempt"]): (
+            r["status"], r["wave_id"], r["task_id"], r["actions"],
+            norm_args(r["crawler_args"]),
+        )
         for r in spark_run.read("fetches").collect()
     }
     want = {
-        (f["canon_url"], f["attempt"]): (f["status"], f["wave_id"], f["task_id"], f["actions"])
+        (f["canon_url"], f["attempt"]): (
+            f["status"], f["wave_id"], f["task_id"], f["actions"],
+            norm_args(f["crawler_args"]),
+        )
         for f in sim.fetches
     }
     assert got == want
+    # crawler_args passthrough: some ledger rows carry them...
+    assert any(v[4] is not None for v in got.values())
+    # ...and unlike actions, they PERSIST across the retry (tasks.py:124,159)
+    assert any(v[4] is not None for k, v in got.items() if k[1] == 2)
     # the per-row config passthrough is real: some ledger rows carry actions
     assert any(r[2] is not None and r[3] is not None for r in got.values())
     # retry-without-actions (vv8_worker/tasks.py:149-158): every attempt-2

@@ -38,10 +38,13 @@ def prepare_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     # 3_vv8_backend_init.sql:12-18); null-fill for sources that carry none
     # (plain seed files) so the FRONTIER_PREPARED contract always holds
     src = frontier
-    for opt in ("task_id", "actions"):
+    for opt, typ in (("task_id", "string"), ("actions", "string"),
+                     ("crawler_args", "array<string>")):
         if opt not in src.columns:
-            src = src.withColumn(opt, F.lit(None).cast("string"))
-    canon = U.with_canonical(src.select("seq", "url", "priority", "task_id", "actions"))
+            src = src.withColumn(opt, F.lit(None).cast(typ))
+    canon = U.with_canonical(
+        src.select("seq", "url", "priority", "task_id", "actions", "crawler_args")
+    )
 
     # rank within (canon_url, valid) so an invalid row can never steal the
     # first-occurrence slot from the valid rows of the same canonical url

@@ -73,6 +73,7 @@ def _verify_batches(
                 "seq": b["seq"],
                 "task_id": b["task_id"],
                 "actions": b["actions"],
+                "crawler_args": b["crawler_args"],
                 "partition_id": b["partition_id"],
                 **out,
             }
@@ -115,6 +116,7 @@ def fetch_verify(
         "w.seq",
         "w.task_id",
         "w.actions",
+        "w.crawler_args",
         # ``found`` + coalesced numerics: a nullable int64 column turns into
         # float64 at the Arrow->pandas boundary, which silently corrupts
         # 64-bit hashes (53-bit mantissa). Keep every precision-critical

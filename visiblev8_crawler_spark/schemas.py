@@ -46,9 +46,11 @@ FRONTIER = StructType(
         StructField("priority", IntegerType()),
         StructField("task_id", StringType()),
         # per-row crawler config passthrough (submissions.actions JSON +
-        # crawler_args, 3_vv8_backend_init.sql:12-18) — carried untouched
-        # from seed source to the fetches ledger
+        # crawler_args TEXT[], 3_vv8_backend_init.sql:12-18) — carried
+        # untouched from seed source to the fetches ledger (actions are
+        # reset to null on retry, crawler_args persist: tasks.py:124,159)
         StructField("actions", StringType()),
+        StructField("crawler_args", ArrayType(StringType())),
     ]
 )
 
@@ -77,6 +79,7 @@ FRONTIER_PREPARED = StructType(
         StructField("attempt", IntegerType()),
         StructField("task_id", StringType()),
         StructField("actions", StringType()),
+        StructField("crawler_args", ArrayType(StringType())),
         StructField("reason", StringType()),
     ]
 )
@@ -99,6 +102,7 @@ PENDING = StructType(
         StructField("attempt", IntegerType()),
         StructField("task_id", StringType()),
         StructField("actions", StringType()),
+        StructField("crawler_args", ArrayType(StringType())),
         StructField("salt", IntegerType()),
     ]
 )
@@ -119,6 +123,7 @@ FETCHES = StructType(
         # with submissions (3_vv8_backend_init.sql:12-18)
         StructField("task_id", StringType()),
         StructField("actions", StringType()),
+        StructField("crawler_args", ArrayType(StringType())),
         StructField("status", StringType()),
         StructField("psnr", DoubleType()),
         StructField("caption_ok", BooleanType()),

@@ -92,6 +92,7 @@ def simulate_campaign(
             "attempt": 1,
             "task_id": row.get("task_id"),
             "actions": row.get("actions"),
+            "crawler_args": row.get("crawler_args"),
         }
         if _robots_blocked(item, robots):
             res.rejected.append((row["seq"], row["url"], "robots"))
@@ -150,6 +151,7 @@ def simulate_campaign(
                     "attempt": item["attempt"],
                     "task_id": item.get("task_id"),
                     "actions": item.get("actions"),
+                    "crawler_args": item.get("crawler_args"),
                     "status": v.status,
                     "psnr": v.psnr,
                     "caption_ok": v.caption_ok,

@@ -131,8 +131,10 @@ def frontier_row(i: int, n_images: int, n_hosts: int) -> dict:
         "priority": priority,
         "task_id": "campaign-0",
         # per-row crawler config passthrough (~1/3 of rows carry an actions
-        # JSON, like reference submissions; the rest null)
+        # JSON, like reference submissions; the rest null). crawler_args
+        # persist across retries (tasks.py:124,159), actions do not.
         "actions": f'{{"click": "#b{hv % 9}"}}' if hv % 3 == 0 else None,
+        "crawler_args": [f"--profile={hv % 4}"] if hv % 5 == 0 else None,
     }
 
 
@@ -298,6 +300,7 @@ def generate_images_spark(
 
 def generate_frontier_spark(spark, n_urls: int, n_images: int, n_hosts: int, parallelism: int = 32):
     from pyspark.sql.types import (
+        ArrayType,
         IntegerType,
         LongType,
         StringType,
@@ -313,6 +316,7 @@ def generate_frontier_spark(spark, n_urls: int, n_images: int, n_hosts: int, par
             StructField("priority", IntegerType()),
             StructField("task_id", StringType()),
             StructField("actions", StringType()),
+            StructField("crawler_args", ArrayType(StringType())),
         ]
     )
 
