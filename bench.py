@@ -137,6 +137,15 @@ def main() -> None:
 
     qs = em.queries()
     spark.range(1000).count()  # JVM warmup
+    # warm the scan path too (parquet footers, codegen, broadcast machinery):
+    # round 1 charged ~2.5 s of one-time JVM warmup to whichever query ran
+    # first (star_join_revenue: 3.2 s cold, 1.0 s warm at sf0.1), which
+    # mismeasures the query. One trivial count per input table moves that
+    # one-time cost out of the timed loop; noted in BASELINE.md so rounds
+    # compare apples to apples.
+    for t in ("orders", "lineitem", "customer", "nation", "region",
+              "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
