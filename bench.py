@@ -47,6 +47,7 @@ EXTRA = [
     "tfidf_top_terms",
     "json_map_features",
     "image_phash_topk",
+    "training_set_pipeline",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

@@ -553,3 +553,61 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("source", F.col("rank").cast("int").alias("rank"), "tok", "tfidf")
     )
+
+
+@q(
+    "training_set_pipeline",
+    """
+    WITH keep AS (
+      -- exact dedup: keep the lowest doc_id per content hash
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    t AS (
+      SELECT d.doc_id, d.lang, d.n_chars, string_split(d.text, ' ') AS toks
+      FROM documents d JOIN keep USING (doc_id)),
+    scored AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             ROUND(LEAST(len(toks) / 100.0, 1.0) * 0.5
+                   + len(list_filter(toks, x -> x IN ('the', 'a')))
+                     * 1.0 / len(toks) * 0.5, 4) AS quality
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+           CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 8
+                THEN 'train'
+                WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 9
+                THEN 'valid' ELSE 'test' END AS split
+    FROM scored
+    WHERE lang = 'en' AND n_tokens >= 20 AND quality >= 0.3
+    """,
+    "the end-to-end training-set preparation pipeline as ONE Catalyst plan: exact dedup "
+    "(hash groupBy keeps the canonical copy) -> language filter -> token-count and "
+    "quality gates -> deterministic train/valid/test assignment. Composing the operators "
+    "declaratively lets Catalyst fuse the filters into the scan and run dedup as the "
+    "single shuffle; the semi-join against keepers broadcasts its (aggregated, small) "
+    "side. At 100 TB this one plan replaces a chain of materialized intermediate tables.",
+)
+def training_set_pipeline(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    keep = docs.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
+    kept = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+    t = _with_tokens(kept)
+    stop_ratio = (
+        F.size(F.filter("toks", lambda x: x.isin("the", "a"))) * 1.0 / F.col("n_tokens")
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5 + stop_ratio * 0.5, 4
+    )
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 10
+    return (
+        t.withColumn("quality", quality)
+        .filter(
+            (F.col("lang") == "en") & (F.col("n_tokens") >= 20) & (F.col("quality") >= 0.3)
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality",
+            F.when(bucket < 8, "train").when(bucket < 9, "valid").otherwise("test")
+            .alias("split"),
+        )
+    )
