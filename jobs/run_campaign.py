@@ -119,7 +119,9 @@ def main() -> None:
         json.dumps(
             {
                 "watermark": cat.watermark(),
-                "waves": (m["last_wave"] or -1) + 1,
+                # NB: `or -1` would misreport a single-wave campaign
+                # (last_wave == 0 is falsy) as 0 waves
+                "waves": (m["last_wave"] if m["last_wave"] is not None else -1) + 1,
                 "attempted": m["attempted"],
                 "ok": m["ok"],
                 "failed": m["failed"],
