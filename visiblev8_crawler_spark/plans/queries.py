@@ -396,6 +396,33 @@ def tumbling_window_events(spark, sf_dir):
 
 
 @q(
+    "price_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "exact grouped percentiles (the latency/size distribution report every crawl "
+    "dashboard needs — decode_ms p99 analog): Spark's exact `percentile` aggregate vs "
+    "DuckDB quantile_cont, both linear-interpolation so the values match bit-for-bit "
+    "after rounding. At 100 TB swap to percentile_approx (t-digest) and drop the oracle "
+    "to a tolerance check — exact grouped percentiles need the full sort per group.",
+)
+def price_percentiles(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        )
+    )
+
+
+@q(
     "events_sessionize",
     """
     WITH o AS (
