@@ -535,7 +535,8 @@ def fetch_artifacts(cat: ParquetCatalog, images: DataFrame, url: str) -> DataFra
 
     canon = canonicalize(url)["canon_url"]
     attempts = cat.read("fetches").filter(F.col("canon_url") == canon).select(
-        "canon_url", "image_id", "attempt", "wave_id", "status", "psnr", "task_id", "actions"
+        "canon_url", "image_id", "attempt", "wave_id", "status", "psnr",
+        "task_id", "actions", "crawler_args",
     )
     # the preserved side of a left join can't broadcast, so prune the blob
     # table with a broadcast semi-join first, then broadcast the (tiny)
@@ -552,6 +553,7 @@ def fetch_artifacts(cat: ParquetCatalog, images: DataFrame, url: str) -> DataFra
         "a.psnr",
         "a.task_id",
         "a.actions",
+        "a.crawler_args",
         "a.image_id",
         "i.bytes",
         "i.fmt",
