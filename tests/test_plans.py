@@ -83,6 +83,23 @@ def test_fetch_join_is_broadcast_only(spark, tmp_path_factory):
     assert "SortMergeJoin" not in p, p
 
 
+def test_tfidf_df_join_not_forced_broadcast(spark):
+    """VERDICT r2 #1: the tok-frequency (df) dimension is the corpus
+    vocabulary — unbounded at web scale — so its join must NOT carry a
+    broadcast hint. With the auto-broadcast threshold disabled, a hinted
+    join would still plan as BroadcastHashJoin; an unhinted one degrades
+    to SortMergeJoin. The only broadcast allowed is the 1-row n_sources
+    aggregate (BroadcastNestedLoopJoin)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _plan(entry_mod.queries()["tfidf_top_terms"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in p, p
+    assert "SortMergeJoin" in p, p
+
+
 def test_select_wave_single_pending_exchange(spark, world):
     """PLANS.md §1: phase 1 is the only pending-sized exchange; the budget
     join broadcasts the robots dimension."""

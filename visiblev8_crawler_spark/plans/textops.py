@@ -528,9 +528,13 @@ def doc_train_split(spark, sf_dir):
     FROM ranked WHERE rnk <= 3
     """,
     "TF-IDF top terms per source — the corpus-analysis composite: explode -> term "
-    "frequencies (one shuffle on (source, tok)) -> document frequencies (broadcastable "
-    "tok dimension) -> idf join -> per-source top-k window. The df side is orders of "
-    "magnitude smaller than the token stream, so the join broadcasts at scale.",
+    "frequencies (one shuffle on (source, tok)) -> document frequencies derived from "
+    "tf's own distinct keys (ReusedExchange, no second pass over the token stream) -> "
+    "idf join -> per-source top-k window. The df dimension has one row per distinct "
+    "token — the corpus VOCABULARY, 10^8-10^9 at web scale — so it is NOT hinted for "
+    "broadcast: AQE picks a broadcast at small sf and degrades to a shuffle join at "
+    "scale instead of OOMing the driver. n_sources rides along as a 1-row broadcast "
+    "aggregate inside the same plan, not a separate driver action.",
 )
 def tfidf_top_terms(spark, sf_dir):
     from pyspark.sql import Window
@@ -538,14 +542,23 @@ def tfidf_top_terms(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
     tf = tok.groupBy("source", "tok").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("tok").agg(F.countDistinct("source").alias("df"))
-    n_sources = docs.select("source").distinct().count()
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "source",
-        "tok",
-        F.round(F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    # tf's keys are already the distinct (source, tok) pairs, so df is a
+    # re-aggregation of tf (Catalyst reuses the exchange) rather than a
+    # second explode+shuffle of the raw token stream
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))  # 1 row, always broadcastable
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_sources").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
     return (
