@@ -53,6 +53,19 @@ def test_ingest_matches_eval_banks_mirror(spark, tmp_path):
     # seq is a total order starting at 1 with no gaps
     seqs = sorted(r["seq"] for r in rows)
     assert seqs == list(range(1, len(rows) + 1))
+    # ... and is exactly the rank in (scan_domain, task_id, url) order —
+    # bit-identical to the old global-window assignment (VERDICT r2 #7)
+    by_key = sorted(rows, key=lambda r: (r["scan_domain"], r["task_id"], r["url"]))
+    assert [r["seq"] for r in by_key] == list(range(1, len(rows) + 1))
     # the fixture exercises both branches
     assert any(p == 1 for p, _a in want.values())
     assert any(p == 0 for p, _a in want.values())
+
+
+def test_ingest_seq_has_no_single_partition_exchange(spark, tmp_path):
+    """The seq assignment must stay distributed: range repartition +
+    per-partition offsets, never a global one-task window."""
+    path = synth.write_candidates_jsonl(str(tmp_path / "c2.jsonl"), 40, 100, 10)
+    df = ingest_candidates(spark, path)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in p, p

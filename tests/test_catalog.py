@@ -79,6 +79,59 @@ def test_compaction_multiple_cycles(spark, tmp_path_factory):
     assert cat.commit_seq() == 9  # 6 appends + 3 compactions
 
 
+def test_append_tag_collision_raises_without_clobber(spark, tmp_path_factory):
+    """ADVICE r2: an append whose tag collides with a published path must
+    raise BEFORE any write — the published data stays byte-intact and the
+    manifest unchanged (the old code overwrote the files and hid it behind
+    a manifest dedup)."""
+    import pytest
+
+    root = str(tmp_path_factory.mktemp("cat_coll"))
+    cat = ParquetCatalog(spark, root, {"t": T, "u": T})
+    cat.commit("w0", appends={"t": spark.createDataFrame([("a", 1)], T)})
+    with pytest.raises(ValueError, match="reuses published path"):
+        cat.commit("w0", appends={"t": spark.createDataFrame([("EVIL", 666)], T)})
+    assert _rows(cat) == {("a", 1)}, "collision overwrote published data"
+    assert cat.file_sets("t") == 1
+
+    # validation is all-or-nothing: a commit whose SECOND table collides
+    # must not have written its first table either
+    with pytest.raises(ValueError, match="reuses published path"):
+        cat.commit(
+            "w0",
+            appends={
+                "u": spark.createDataFrame([("x", 7)], T),
+                "t": spark.createDataFrame([("EVIL", 666)], T),
+            },
+        )
+    assert cat.read("u").count() == 0
+    assert _rows(cat) == {("a", 1)}
+
+
+def test_write_unpublished_refuses_published_path(spark, tmp_path_factory):
+    """write_unpublished happens before the commit lock, so the clobber
+    check must fire at write time, not only at commit time."""
+    import pytest
+
+    root = str(tmp_path_factory.mktemp("cat_unpub"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    cat.commit("w0", appends={"t": spark.createDataFrame([("a", 1)], T)})
+    with pytest.raises(ValueError, match="already-published"):
+        cat.write_unpublished("t", spark.createDataFrame([("EVIL", 666)], T), "w0")
+    assert _rows(cat) == {("a", 1)}
+
+
+def test_derived_tags_never_collide(spark, tmp_path_factory):
+    """tag=None derives the tag from the commit counter inside the lock —
+    repeated anonymous commits always publish distinct paths."""
+    root = str(tmp_path_factory.mktemp("cat_anon"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    for i in range(3):
+        cat.commit(None, appends={"t": spark.createDataFrame([("n", i)], T)})
+    assert cat.file_sets("t") == 3
+    assert _rows(cat) == {("n", 0), ("n", 1), ("n", 2)}
+
+
 def test_concurrent_commits_serialize(spark, tmp_path_factory):
     """Two committers racing (the ingest-stream-next-to-wave-loop shape):
     every file set survives — the flock serializes the manifest

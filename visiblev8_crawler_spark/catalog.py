@@ -84,11 +84,11 @@ class ParquetCatalog:
         if self.file_sets(name) < min_file_sets:
             return False
         snapshot = self.read(name)
-        # tag on the monotonic commit_seq, NOT the file-set count: periodic
-        # compaction at a fixed threshold K would otherwise reuse the same
-        # "compact-K" tag every cycle and overwrite the very path the lazy
-        # snapshot DataFrame is reading from (data loss / Spark error)
-        self.commit(f"compact-{self.commit_seq() + 1}", replaces={name: snapshot})
+        # tag=None: derived from the monotonic commit counter INSIDE the
+        # commit lock — never reuses a tag, so it can never overwrite the
+        # very path the lazy snapshot DataFrame is reading from, even with
+        # a concurrent committer bumping the counter
+        self.commit(None, replaces={name: snapshot})
         return True
 
     # -- reads -------------------------------------------------------------
@@ -110,12 +110,20 @@ class ParquetCatalog:
         the write as the wave's only action — e.g. collecting Observation
         metrics from it — and still decide afterwards whether to commit.
         Paths are deterministic per (name, tag), so an abandoned set is
-        simply overwritten on re-run."""
+        simply overwritten on re-run. Refuses to overwrite a path the
+        current manifest already publishes — that would corrupt committed
+        data before any commit-time check could fire."""
+        path = os.path.join(self.root, "data", name, tag)
+        if path in self._load_manifest()["tables"].get(name, []):
+            raise ValueError(
+                f"unpublished write of {name!r} targets already-published "
+                f"path {path!r}; pick a unique tag"
+            )
         return self._write(name, df, tag)
 
     def commit(
         self,
-        tag: str,
+        tag: str | None,
         appends: dict[str, DataFrame] | None = None,
         replaces: dict[str, DataFrame] | None = None,
         watermark: int | None = None,
@@ -129,6 +137,21 @@ class ParquetCatalog:
         previous file sets; ``meta`` merges small scalar state into the
         manifest.
 
+        ``tag=None`` derives a unique tag from the commit counter INSIDE the
+        critical section — the safe default for tags with no semantic
+        meaning (ingest batches, compactions): two concurrent committers can
+        never pick the same tag, because the counter increments under the
+        lock. Explicit tags are for semantically-keyed sets (``wave=N``).
+
+        Every target path — appends and replaces alike — is validated
+        against the published manifest BEFORE anything is written, so a tag
+        collision raises with the catalog untouched instead of silently
+        overwriting a published file set (the old append path deduped the
+        manifest entry and hid exactly that corruption). ``prewritten``
+        paths were written before the lock by write_unpublished, which
+        performs the same check at write time; it is re-checked here against
+        the latest manifest.
+
         Concurrency: the whole read-modify-write runs under an exclusive
         flock, so concurrent committers (a foreachBatch ingest stream next
         to the wave loop) serialize instead of losing whichever manifest
@@ -139,22 +162,38 @@ class ParquetCatalog:
             fcntl.flock(lk, fcntl.LOCK_EX)
             m = self._load_manifest()
             m["commit_seq"] += 1
+            if tag is None:
+                tag = f"c{m['commit_seq']}"
+
+            # validate every target path first: no write happens if ANY
+            # part of the commit would clobber published data
+            def _target(name: str) -> str:
+                return os.path.join(self.root, "data", name, tag)
+
+            for kind, names in (
+                ("append", appends or {}),
+                ("replace", replaces or {}),
+            ):
+                for name in names:
+                    if _target(name) in m["tables"].get(name, []):
+                        raise ValueError(
+                            f"{kind} of {name!r} reuses published path "
+                            f"{_target(name)!r}; pick a unique tag (or pass "
+                            "tag=None to derive one from the commit counter)"
+                        )
+            for name, p in (prewritten or {}).items():
+                if p in m["tables"].get(name, []):
+                    raise ValueError(
+                        f"prewritten set for {name!r} is already published "
+                        f"at {p!r}; it was overwritten outside this commit"
+                    )
+
             for name, df in (appends or {}).items():
                 p = self._write(name, df, tag)
-                m["tables"].setdefault(name, [])
-                if p not in m["tables"][name]:
-                    m["tables"][name].append(p)
+                m["tables"].setdefault(name, []).append(p)
             for name, p in (prewritten or {}).items():
-                m["tables"].setdefault(name, [])
-                if p not in m["tables"][name]:
-                    m["tables"][name].append(p)
+                m["tables"].setdefault(name, []).append(p)
             for name, df in (replaces or {}).items():
-                path = os.path.join(self.root, "data", name, tag)
-                if path in m["tables"].get(name, []):
-                    raise ValueError(
-                        f"replace of {name!r} reuses published path {path!r}; "
-                        "pick a unique tag (e.g. commit_seq-derived)"
-                    )
                 p = self._write(name, df, tag)
                 m["tables"][name] = [p]
             if watermark is not None:

@@ -67,15 +67,62 @@ def ingest_candidates(spark: SparkSession, path: str) -> DataFrame:
         c.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "pos")
-    )
-    return picked.select(
-        F.row_number()
-        .over(Window.orderBy("scan_domain", "task_id", "url"))
-        .cast("long")
-        .alias("seq"),
+    ).select(
         "url",
         F.when(F.col("strategy") == "CRAWLING", 1).otherwise(0).alias("priority"),
         "scan_domain",
         "actions",
         "task_id",
     )
+    return _with_seq(picked, ["scan_domain", "task_id", "url"])
+
+
+def _with_seq(df: DataFrame, order_keys: list[str]) -> DataFrame:
+    """Assign seq = 1-based global rank by ``order_keys`` WITHOUT funnelling
+    the whole frame through one window partition (VERDICT r2 #7: the old
+    ``row_number().over(Window.orderBy(...))`` serialized a 10^8-candidate
+    ingest into a single task).
+
+    Distributed form: range-repartition + in-partition sort gives a total
+    order across partitions; per-partition row counts (one tiny collect of
+    #partitions integers) become cumulative offsets; an Arrow-batched
+    mapInPandas adds offset + local index. seq depends only on the rank in
+    the total key order (keys are unique after the dedup pick), so the
+    output is identical to the single-window form at any parallelism.
+    localCheckpoint pins the range boundaries so the count pass and the
+    assignment pass see the same partitioning.
+    """
+    from pyspark import TaskContext
+
+    ordered = (
+        df.repartitionByRange(*order_keys)
+        .sortWithinPartitions(*order_keys)
+        .localCheckpoint(eager=True)
+    )
+    counts = dict(
+        (r["pid"], r["count"])
+        for r in ordered.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid in range(ordered.rdd.getNumPartitions()):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    out_schema = "seq long, " + ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ordered.schema.fields
+    )
+    cols = [f.name for f in ordered.schema.fields]
+
+    def assign(batches):
+        nxt = offsets[TaskContext.get().partitionId()]
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf.insert(0, "seq", range(nxt + 1, nxt + 1 + len(pdf)))
+            pdf["seq"] = pdf["seq"].astype("int64")
+            nxt += len(pdf)
+            yield pdf
+
+    return ordered.mapInPandas(assign, out_schema).select("seq", *cols)

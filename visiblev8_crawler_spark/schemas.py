@@ -136,6 +136,21 @@ FETCHES = StructType(
     ]
 )
 
+# per-host politeness token bucket + abuse record (SURVEY §4.2.3) — DERIVED
+# state, never committed: a pure fold of the fetches ledger per host
+# (scheduler.host_state_df), maintained incrementally in memory during a
+# run. credit/last_wave carry unused budget across waves; ok/failed drive
+# the failure-rate demotion (waves.politeness_exprs).
+HOST_STATE = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("credit", DoubleType()),
+        StructField("last_wave", IntegerType()),
+        StructField("ok", LongType()),
+        StructField("failed", LongType()),
+    ]
+)
+
 # the URL-seen set (backend tasks.py:148-156 dedup cache analog)
 URL_SEEN = StructType(
     [
