@@ -67,6 +67,31 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) >= 2
 
 
+def test_approx_percentiles_within_bound(spark, ddb):
+    """price_percentiles_approx has no cross-engine oracle (sketch results
+    differ); every group's p50/p90/p99 must land within 2% of the exact
+    quantile — the declared-tolerance gate the exact query's docstring
+    promised for the 100 TB swap."""
+    rows = entry_mod.queries()["price_percentiles_approx"](spark, SF_DIR).collect()
+    exact = {
+        r[0]: r[1:]
+        for r in ddb.sql(
+            """
+            SELECT o_orderpriority,
+                   quantile_cont(o_totalprice, 0.5),
+                   quantile_cont(o_totalprice, 0.9),
+                   quantile_cont(o_totalprice, 0.99)
+            FROM orders GROUP BY o_orderpriority
+            """
+        ).fetchall()
+    }
+    assert len(rows) == len(exact) and rows
+    for r in rows:
+        want = exact[r["o_orderpriority"]]
+        for got, exp in zip((r["p50"], r["p90"], r["p99"]), want):
+            assert abs(got - exp) / exp < 0.02, (r["o_orderpriority"], got, exp)
+
+
 def test_approx_distinct_within_bound(spark, ddb):
     """approx_count_distinct has no cross-engine oracle (HLL sketches differ);
     check the estimate against the exact cardinality instead."""

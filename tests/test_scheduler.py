@@ -320,11 +320,54 @@ def test_auto_compaction_preserves_ledger(spark, world, spark_run, tmp_path_fact
     )
     cat = scheduler.run_campaign(spark, root, frontier, robots, images, cfg)
 
-    assert cat.file_sets("fetches") <= cfg.compact_every, "sets unbounded"
+    # EVERY append-accumulating table stays bounded, not just fetches
+    # (metrics gains one set per wave; r2 VERDICT #4)
+    for table in ("fetches", "metrics"):
+        assert cat.file_sets(table) <= cfg.compact_every, f"{table} sets unbounded"
     keys = ["canon_url", "attempt", "wave_id", "order_in_wave", "status"]
     a = {tuple(r[k] for k in keys) for r in cat.read("fetches").collect()}
     b = {tuple(r[k] for k in keys) for r in spark_run.read("fetches").collect()}
     assert a == b, "compaction changed the ledger contents"
+    mkeys = ["wave_id", "n_attempted", "n_ok", "n_failed"]
+    am = {tuple(r[k] for k in mkeys) for r in cat.read("metrics").collect()}
+    bm = {tuple(r[k] for k in mkeys) for r in spark_run.read("metrics").collect()}
+    assert am == bm, "compaction changed the metrics contents"
+    assert scheduler.pending_df(cat).count() == 0
+
+
+def test_compaction_covers_ingest_tables(spark, world, tmp_path_factory):
+    """frontier_prepared / rejected gain one file set per add_seeds ingest;
+    the wave loop's periodic compaction must fold them too (r2 VERDICT #4),
+    and the pool/reject contents must survive the rewrite exactly."""
+    root = str(tmp_path_factory.mktemp("cat_ingest_compact"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cfg = CrawlConfig(batch_size=BATCH, compact_every=2)
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images, cfg, stop_after_waves=1
+    )
+    for batch in range(3):  # three ingests -> three extra sets per table
+        seeds = [
+            f"https://ing{batch}.example/img/img_{i:012d}" for i in range(4)
+        ] + ["not a url"]
+        scheduler.add_seeds(
+            spark, cat,
+            spark.createDataFrame(
+                [(i, u, 0) for i, u in enumerate(seeds)],
+                "seq long, url string, priority int",
+            ),
+            robots,
+        )
+    assert cat.file_sets("frontier_prepared") == 4  # prep + 3 ingests
+    before_pool = {r["canon_url"] for r in scheduler.pool_df(cat).collect()}
+    before_rej = {(r["seq"], r["reason"]) for r in cat.read("rejected").collect()}
+
+    cat = scheduler.run_campaign(spark, root, frontier, robots, images, cfg)
+    for table in ("fetches", "metrics", "frontier_prepared", "rejected"):
+        assert cat.file_sets(table) <= cfg.compact_every, f"{table} unbounded"
+    assert {r["canon_url"] for r in scheduler.pool_df(cat).collect()} == before_pool
+    assert {(r["seq"], r["reason"]) for r in cat.read("rejected").collect()} == before_rej
     assert scheduler.pending_df(cat).count() == 0
 
 

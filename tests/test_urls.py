@@ -88,6 +88,104 @@ def test_etld1_public_suffix_python(host, expected):
     assert etld1_py(host) == expected
 
 
+# The checkPublicSuffix cases from publicsuffix.org's official test file
+# (test_psl.txt, public domain), minus two blocks: the IDN/punycode rows
+# (canonicalize operates on already-encoded hosts; IDN normalization is out
+# of scope) and the leading-dot rows (rejected upstream by the F1 validity
+# filter before etld1 is ever computed). None (= no registrable domain)
+# maps to the engine's '' contract. Mixed-case rows are lowercased first —
+# canonicalize lowercases the host before the PSL runs.
+PSL_OFFICIAL_CORPUS = [
+    # Mixed case.
+    ("COM", None),
+    ("example.COM", "example.com"),
+    ("WwW.example.COM", "example.com"),
+    # Unlisted TLD (default rule).
+    ("example", None),
+    ("example.example", "example.example"),
+    ("b.example.example", "example.example"),
+    ("a.b.example.example", "example.example"),
+    # Listed, but non-Internet, TLD analog behaves the same.
+    ("biz", None),
+    ("domain.biz", "domain.biz"),
+    ("b.domain.biz", "domain.biz"),
+    ("a.b.domain.biz", "domain.biz"),
+    # TLD with only 1 rule.
+    ("com", None),
+    ("example.com", "example.com"),
+    ("b.example.com", "example.com"),
+    ("a.b.example.com", "example.com"),
+    ("uk.com", None),  # private-section 2-label suffix
+    ("example.uk.com", "example.uk.com"),
+    ("b.example.uk.com", "example.uk.com"),
+    ("a.b.example.uk.com", "example.uk.com"),
+    ("test.ac", "test.ac"),
+    # TLD with only 1 (wildcard) rule.
+    ("mm", None),
+    ("c.mm", None),
+    ("b.c.mm", "b.c.mm"),
+    ("a.b.c.mm", "b.c.mm"),
+    # More complex TLD.
+    ("jp", None),
+    ("test.jp", "test.jp"),
+    ("www.test.jp", "test.jp"),
+    ("ac.jp", None),
+    ("test.ac.jp", "test.ac.jp"),
+    ("www.test.ac.jp", "test.ac.jp"),
+    ("kyoto.jp", None),
+    ("test.kyoto.jp", "test.kyoto.jp"),
+    ("ide.kyoto.jp", None),
+    ("b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+    ("a.b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+    ("c.kobe.jp", None),
+    ("b.c.kobe.jp", "b.c.kobe.jp"),
+    ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+    ("city.kobe.jp", "city.kobe.jp"),
+    ("www.city.kobe.jp", "city.kobe.jp"),
+    # TLD with a wildcard rule and exceptions.
+    ("ck", None),
+    ("test.ck", None),
+    ("b.test.ck", "b.test.ck"),
+    ("a.b.test.ck", "b.test.ck"),
+    ("www.ck", "www.ck"),
+    ("www.www.ck", "www.ck"),
+    # US K12.
+    ("us", None),
+    ("test.us", "test.us"),
+    ("www.test.us", "test.us"),
+    ("ak.us", None),
+    ("test.ak.us", "test.ak.us"),
+    ("www.test.ak.us", "test.ak.us"),
+    ("k12.ak.us", None),
+    ("test.k12.ak.us", "test.k12.ak.us"),
+    ("www.test.k12.ak.us", "test.k12.ak.us"),
+]
+
+
+def test_etld1_official_psl_corpus_python():
+    from visiblev8_crawler_spark.functions.psl import etld1_py
+
+    for host, want in PSL_OFFICIAL_CORPUS:
+        got = etld1_py(host.lower())
+        assert got == (want or ""), (host, got, want)
+
+
+def test_etld1_official_psl_corpus_spark(spark):
+    from visiblev8_crawler_spark.functions.psl import etld1_col
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(h.lower(),) for h, _ in PSL_OFFICIAL_CORPUS], "host string"
+    )
+    got = {
+        r["host"]: r["e"]
+        for r in df.select("host", etld1_col(F.col("host")).alias("e")).collect()
+    }
+    for host, want in PSL_OFFICIAL_CORPUS:
+        assert got[host.lower()] == (want or ""), (host, got[host.lower()], want)
+
+
 def test_etld1_public_suffix_spark(spark):
     """The InSet expression tree and the Python mirror agree on every PSL case."""
     from visiblev8_crawler_spark.functions.psl import etld1_col

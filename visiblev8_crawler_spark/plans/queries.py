@@ -423,6 +423,28 @@ def price_percentiles(spark, sf_dir):
 
 
 @q(
+    "price_percentiles_approx",
+    None,  # sketch values differ across engines; tolerance-tested vs the
+    # exact DuckDB quantiles in tests/test_queries_oracle.py
+    "the 100 TB form price_percentiles' docstring promised: percentile_approx "
+    "(Greenwald-Khanna sketch, accuracy 10000 -> rank error <= n/10000) instead of the "
+    "exact percentile aggregate, so each group needs a mergeable fixed-size sketch "
+    "rather than a full per-group sort. Rows-only for the oracle gate; pytest asserts "
+    "every group's p50/p90/p99 within 2% of the exact DuckDB quantile.",
+)
+def price_percentiles_approx(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+            F.percentile_approx("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+        )
+    )
+
+
+@q(
     "events_sessionize",
     """
     WITH o AS (

@@ -16,6 +16,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 def conform(df: DataFrame, schema: StructType) -> DataFrame:
@@ -178,6 +179,18 @@ METRICS = StructType(
         StructField("n_failed", LongType()),
         StructField("wall_s", DoubleType()),
         StructField("rows_per_s", DoubleType()),
+    ]
+)
+
+# the production metrics-plane rollup (streaming/windows.py
+# run_metrics_stream_update): one row per (tumbling window, event type),
+# upserted per micro-batch
+METRICS_WINDOWS = StructType(
+    [
+        StructField("win_start", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("sum_value", DoubleType()),
     ]
 )
 

@@ -534,9 +534,15 @@ def _wave_loop(
 
         # periodic maintenance: compaction is its own atomic commit after
         # the wave publishes, so it can never mix wave data with rewrite
-        # data; its cost is charged to this wave's carry_s like the commit
+        # data; its cost is charged to this wave's carry_s like the commit.
+        # EVERY append-accumulating table folds, not just fetches (r2
+        # VERDICT #4): metrics gains one set per wave, frontier_prepared /
+        # rejected one per add_seeds ingest — a long campaign's status and
+        # resume reads would otherwise degrade linearly in set count. The
+        # min_file_sets guard makes untouched tables a no-op.
         if cfg.compact_every and (wave_id + 1) % cfg.compact_every == 0:
-            cat.compact("fetches", min_file_sets=cfg.compact_every)
+            for table in ("fetches", "metrics", "frontier_prepared", "rejected"):
+                cat.compact(table, min_file_sets=cfg.compact_every)
 
         carry_s = time.perf_counter() - t_commit
         wave_id += 1

@@ -36,9 +36,16 @@ from pyspark.sql import functions as F
 def windowed_event_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """The aggregation itself — shared by the streaming and batch plans so
     the equivalence test compares the same logical query."""
+    from pyspark.sql.types import TimestampType
+
     # the testdata's ts is TIMESTAMP_NTZ; watermarks require instant-typed
-    # timestamps, and the cast is identical in the batch twin
-    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    # timestamps, and the cast is identical in the batch twin. Skip it when
+    # ts is already instant-typed: re-projecting the column would REPLACE
+    # the watermarked attribute, silently detaching the watermark from the
+    # aggregation (no late-row drop, no state eviction — caught by
+    # test_update_mode_sink_drops_late_rows_and_evicts_state).
+    if not isinstance(events.schema["ts"].dataType, TimestampType):
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.groupBy(F.window("ts", width).alias("win"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -79,6 +86,64 @@ def run_dedup_stream(
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("dedup_events")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_metrics_stream_update(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    catalog_root: str,
+    watermark: str = "30 minutes",
+    width: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+):
+    """The PRODUCTION shape of the always-on metrics plane (C12,
+    url_sender.py:279-303): ``outputMode('update')`` + watermark, so
+
+    - window state is EVICTED once the watermark passes a window's end
+      (state stays bounded over an unbounded campaign — unlike the
+      complete-mode test fixture, where the watermark is inert);
+    - a row later than the watermark is DROPPED — a worker reporting a
+      fetch 10 minutes late cannot reopen a closed wave's accounting
+      (asserted via numRowsDroppedByWatermark in the test);
+    - each micro-batch emits only the windows it CHANGED, and foreachBatch
+      upserts them into a catalog table by (win_start, event_type) — the
+      Iceberg ``MERGE INTO`` analog, atomic per batch via the manifest
+      swap, so readers always see a consistent rollup.
+
+    The watermark lives in the streaming checkpoint: a restarted query
+    resumes with the same lateness horizon (tested by running two
+    AvailableNow passes over a growing directory). Returns the
+    StreamingQuery."""
+    from ..catalog import ParquetCatalog
+    from ..schemas import METRICS_WINDOWS
+
+    cat = ParquetCatalog(spark, catalog_root, {"metrics_windows": METRICS_WINDOWS})
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_event_counts(stream.withWatermark("ts", watermark), width)
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # cut the stream lineage
+        if not batch_df.isEmpty():
+            old = cat.read("metrics_windows")
+            merged = old.join(
+                F.broadcast(batch_df.select("win_start", "event_type")),
+                ["win_start", "event_type"],
+                "left_anti",
+            ).unionByName(batch_df)
+            cat.commit(None, replaces={"metrics_windows": merged})
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
