@@ -187,6 +187,40 @@ def test_empty_wave_fast_forward_jumps(spark, world, tmp_path_factory):
     assert scheduler.pending_df(cat).count() == 0
 
 
+def test_zero_cap_host_terminates_campaign(spark, world, tmp_path_factory):
+    """A robots row with max_per_wave=0 means the host may never be fetched
+    at any wave — the scheduler and simulator must finish the rest of the
+    frontier and STOP, not fast-forward one empty wave at a time until
+    max_waves."""
+    dead, live = "capzero.example", "alive.example"
+    rows = [
+        {"seq": i + 1,
+         "url": f"https://{dead if i % 2 else live}/img/img_{i % 250:012d}",
+         "host": dead if i % 2 else live, "priority": 0, "task_id": "z"}
+        for i in range(20)
+    ]
+    robots_rows = [
+        {"host": dead, "full_block": False, "disallow_prefixes": [],
+         "crawl_delay_s": 1.0, "max_per_wave": 0},
+    ]
+    frontier, robots, robots_by_host = _world(rows, robots_rows, spark)
+
+    sim = simulator.simulate_campaign(
+        rows, robots_by_host, world["images_by_id"], batch_size=50
+    )
+    assert sim.waves <= 3  # terminated, not 10k fast-forward spins
+    assert all(dead not in u for u in sim.url_seen)
+    assert any(live in u for u in sim.url_seen)
+
+    cat = scheduler.run_campaign(
+        spark, str(tmp_path_factory.mktemp("cat_zero")), frontier, robots,
+        spark.read.parquet(world["paths"]["images"]), CrawlConfig(batch_size=50),
+    )
+    assert _crawl_order(cat) == set(sim.crawl_order)
+    left = {r["host"] for r in scheduler.pending_df(cat).collect()}
+    assert left == {dead}, left  # only the zero-cap host's rows remain
+
+
 def test_kill_resume_with_fractional_credit(spark, world, tmp_path_factory):
     """Kill/resume across waves with FRACTIONAL carried credit: the resume
     path re-derives host state by folding the fetch ledger

@@ -215,10 +215,14 @@ def next_eligible_wave(
     and the scheduler jumps straight there instead of burning one selection
     pass per empty wave (a host declaring Crawl-delay: 3600 at a 60 s
     period would otherwise cost 60 empty selection jobs per fetch).
-    Returns None when pending has no rows."""
+    Hosts whose concurrency cap is 0 (a robots row with max_per_wave=0)
+    can never fetch at any wave, so they are excluded from the minimum —
+    otherwise the scheduler would fast-forward one jump at a time until
+    max_waves. Returns None when pending has no rows or no pending host can
+    ever become eligible (the scheduler then stops instead of spinning)."""
     hosts = join_politeness_dims(
         pending.select("host").distinct(), robots, host_state
-    )
+    ).filter(F.coalesce(F.col("max_per_wave"), F.lit(default_budget)) >= 1)
     delay = F.when(
         F.col("crawl_delay_s").isNull() | (F.col("crawl_delay_s") <= 0),
         F.lit(DEFAULT_CRAWL_DELAY_S),

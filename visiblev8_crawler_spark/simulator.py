@@ -166,11 +166,22 @@ def simulate_campaign(
         if not selected:
             # every pending host's bucket is below 1 credit: fast-forward to
             # the earliest wave where some host reaches 1 (waves.
-            # next_eligible_wave mirror) instead of spinning empty waves
+            # next_eligible_wave mirror) instead of spinning empty waves;
+            # zero-cap hosts (max_per_wave=0) can never fetch and are
+            # excluded — if none remain, the campaign is done
+            eligible = {
+                it["host"]
+                for it in candidates
+                if (robots.get(it["host"], {}).get("max_per_wave")
+                    if robots.get(it["host"], {}).get("max_per_wave") is not None
+                    else default_budget) >= 1
+            }
+            if not eligible:
+                break
             nxt = min(
                 last_wave.get(h, -1)
                 + math.ceil((1.0 - credit.get(h, 0.0)) / host_rate(h))
-                for h in {it["host"] for it in candidates}
+                for h in eligible
             )
             wave_id = max(wave_id + 1, nxt)
             continue

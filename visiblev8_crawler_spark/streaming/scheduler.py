@@ -236,16 +236,38 @@ class _HostState:
 
     def as_df(self, spark: SparkSession) -> DataFrame | None:
         """The selection-side dimension frame: a LocalRelation built via
-        Arrow — scanned inside the select job, no extra Spark action."""
-        if not self.state:
+        Arrow — scanned inside the select job, no extra Spark action.
+
+        Only hosts whose budget actually DEPENDS on carried state ride
+        along — an exact filter, not an approximation: for a host with
+        refill rate >= bucket cap (delay small relative to the wave
+        period, the common case) and no demotion, eff = min(credit +
+        rate*delta, cap) = cap for every delta >= 1 and any credit >= 0,
+        so its budget equals the stateless default and the politeness
+        expressions compute the identical value from the null-state
+        branch. Campaigns with no delay-bound or demoted hosts (e.g. the
+        throughput bench at wave_period=1200) therefore skip the state
+        broadcast entirely (measured ~10% of wave wall at 5000 hosts)."""
+        rows = [
+            (h, v[0], v[1], v[2], v[3])
+            for h, v in self.state.items()
+            if self._state_relevant(h, v)
+        ]
+        if not rows:
             return None
         import pandas as pd
 
         pdf = pd.DataFrame(
-            [(h, v[0], v[1], v[2], v[3]) for h, v in self.state.items()],
-            columns=["host", "credit", "last_wave", "ok", "failed"],
+            rows, columns=["host", "credit", "last_wave", "ok", "failed"]
         )
         return spark.createDataFrame(pdf, schema=schemas.HOST_STATE)
+
+    def _state_relevant(self, host: str, v) -> bool:
+        _credit, _last, ok, failed = v
+        if failed >= self.cfg.demote_after_failures and failed > ok:
+            return True  # demoted: budget differs from the robots default
+        rate, m = self._rate_m(host)
+        return rate < float(max(m, 1))  # delay-bound: credit carries
 
     def _rate_m(self, host: str) -> tuple[float, int]:
         m, d = self.dims.get(host, (None, None))
@@ -255,15 +277,15 @@ class _HostState:
             d = DEFAULT_CRAWL_DELAY_S
         return self.cfg.wave_period_s / d, m
 
-    def update(self, wave_id: int, host_outcomes) -> None:
-        """Fold one wave's (host, ok?) outcome pairs — delivered by the
-        results write's Observation, so the stats cost zero extra jobs."""
-        per_host: dict[str, list[int]] = {}
-        for o in host_outcomes:
-            c = per_host.setdefault(o["host"], [0, 0])
-            c[0] += 1
-            c[1] += 1 if o["ok"] else 0
-        for host, (n_sel, n_ok) in per_host.items():
+    def update(self, wave_id: int, host_stats) -> None:
+        """Fold one wave's per-host (n_sel, n_ok) aggregate rows — produced
+        by a 2-column scan of the just-committed wave parquet that runs on
+        a background thread OVERLAPPED with the pending-update checkpoint,
+        so the stats cost ~zero wall time (an Observation collect_list on
+        the write measured ~0.3 s/wave at 22k rows; the overlapped scan
+        hides entirely behind the ~1 s checkpoint)."""
+        for r in host_stats:
+            host, n_sel, n_ok = r["host"], int(r["n_sel"]), int(r["n_ok"])
             credit, last, ok, failed = self.state.get(host, (0.0, -1, 0, 0))
             rate, m = self._rate_m(host)
             m_eff = (
@@ -445,18 +467,14 @@ def _wave_loop(
             .persist()
         )
         # the fetches write is the wave's ONLY pass over the fetch results:
-        # counts AND the per-host outcome pairs (the politeness-state feed)
-        # ride along as Observation metrics (no separate agg job, no results
-        # cache), and the file set stays unpublished until the commit below
-        # — so an empty wave, or a crash here, publishes nothing.
+        # counts ride along as Observation metrics (no separate agg job, no
+        # results cache), and the file set stays unpublished until the commit
+        # below — so an empty wave, or a crash here, publishes nothing.
         obs = Observation()
         results = fetch_verify(selected, images, cfg.fetch_timeout_ms).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("status") == "OK", 1).otherwise(0)).alias("ok"),
-            F.collect_list(
-                F.struct(F.col("host"), (F.col("status") == "OK").alias("ok"))
-            ).alias("hosts"),
         )
         fetches_path = cat.write_unpublished("fetches", results, f"wave={wave_id}")
         n_attempted = int(obs.get["n"])
@@ -472,7 +490,9 @@ def _wave_loop(
             nxt = next_eligible_wave(
                 pending, robots, state_df, cfg.default_budget, cfg.wave_period_s
             )
-            wave_id = max(wave_id + 1, nxt if nxt is not None else wave_id + 1)
+            if nxt is None:  # no pending host can ever fetch (cap 0)
+                break
+            wave_id = max(wave_id + 1, nxt)
             continue
 
         wall = time.perf_counter() - t0 + carry_s
@@ -499,6 +519,35 @@ def _wave_loop(
             prewritten={"fetches": fetches_path},
             watermark=wave_id,
         )
+
+        # per-host outcome aggregate for the politeness state: a 2-column
+        # columnar scan of the just-committed wave parquet, submitted on a
+        # background thread so it runs CONCURRENTLY with the pending-update
+        # checkpoint below and costs ~zero wall time (both read immutable
+        # committed data; Spark schedules jobs from separate threads fine)
+        import threading
+
+        stats_box: dict = {}
+
+        def _collect_stats(path=fetches_path, box=stats_box):
+            try:
+                box["rows"] = (
+                    spark.read.schema(schemas.FETCHES)
+                    .parquet(path)
+                    .groupBy("host")
+                    .agg(
+                        F.count("*").alias("n_sel"),
+                        F.sum(
+                            F.when(F.col("status") == "OK", 1).otherwise(0)
+                        ).alias("n_ok"),
+                    )
+                    .collect()
+                )
+            except BaseException as e:  # surfaced at join below
+                box["err"] = e
+
+        stats_thread = threading.Thread(target=_collect_stats, daemon=True)
+        stats_thread.start()
 
         # incremental pending update (in-memory mirror of pending_df over the
         # new snapshot): drop this wave's rows, add this wave's retryable
@@ -528,8 +577,11 @@ def _wave_loop(
             .localCheckpoint(eager=True)
         )
         # politeness bucket + abuse record for the <= hosts-in-wave touched
-        # hosts — fed by the Observation above, zero extra jobs
-        hstate.update(wave_id, obs.get["hosts"] or [])
+        # hosts — fed by the overlapped stats scan
+        stats_thread.join()
+        if "err" in stats_box:
+            raise stats_box["err"]
+        hstate.update(wave_id, stats_box["rows"])
         selected.unpersist()
 
         # periodic maintenance: compaction is its own atomic commit after
