@@ -9,9 +9,13 @@ state lives in the state store (checkpointed, exactly-once with the sink),
 the update function sees each key's rows as pandas frames.
 
 Here the keyed state is per-host: cumulative fetch count and OK count —
-the live form of the politeness/abuse accounting a crawler uses to demote
-misbehaving hosts mid-campaign (the batch engine derives the same numbers
-from the fetches table after the fact; this operator maintains them online).
+the live form of the politeness/abuse accounting the wave scheduler's
+demotion rule consumes (scheduler.host_state_df / _HostState: failed >=
+threshold and failed > ok cuts a host's cap). The two engines compute the
+SAME numbers from the same ledger — proven by
+tests/test_stateful.py::test_streaming_accounting_matches_scheduler_host_state,
+which streams a real campaign's per-wave fetch file sets through this
+operator and matches the scheduler's fold exactly.
 
 GroupStateTimeout is unused (campaign state never expires); swap in
 ProcessingTimeTimeout to age out idle hosts at web scale.
