@@ -210,6 +210,100 @@ def embedding_ivf_topk(spark, sf_dir):
     )
 
 
+_RECALL_QUERIES = 8  # vec_ids 1..8 double as the evaluation query set
+_RECALL_K = 10
+
+
+@q(
+    "ann_recall_report",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id <= {_RECALL_QUERIES}),
+    s AS (
+      SELECT q.qid, v.vec_id,
+             ROUND(list_dot_product(v.embedding::DOUBLE[], q.qe)
+                   / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine,
+             {_BUCKET_SQL.format(v='v.embedding')} AS vb,
+             {_BUCKET_SQL.format(v='q.qe')} AS qb
+      FROM embeddings v CROSS JOIN q WHERE v.vec_id != q.qid),
+    exact AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM s) WHERE rn <= {_RECALL_K}),
+    lsh AS (SELECT qid, vec_id FROM (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM s WHERE vb = qb) WHERE rn <= {_RECALL_K})
+    SELECT e.qid AS query_id,
+           ROUND(COUNT(l.vec_id) / {_RECALL_K}.0, 2) AS recall_at_10
+    FROM exact e LEFT JOIN lsh l ON l.qid = e.qid AND l.vec_id = e.vec_id
+    GROUP BY e.qid
+    """,
+    "ANN index-quality evaluation — the pipeline step that decides whether an index "
+    "is good enough to replace brute force: recall@10 of the sign-LSH bucket index vs "
+    "the exact top-10, over a panel of query vectors in ONE plan. The 8-row query "
+    "panel broadcasts; scoring is map-side over the candidate scan; both rankings "
+    "window on the rounded cosine (ties by vec_id) so the two engines rank "
+    "identically; recall joins the two top-k sets per query. At 100 TB the panel is "
+    "a sampled holdout and the same plan grades any index variant (IVF, banded LSH) "
+    "by swapping the candidate predicate.",
+)
+def ann_recall_report(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") <= _RECALL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _bucket_expr_spark(F.col("embedding")).alias("qb"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    cand = emb.select(
+        "vec_id",
+        "embedding",
+        _bucket_expr_spark(F.col("embedding")).alias("vb"),
+        _norm(F.col("embedding")).alias("vn"),
+    )
+    scored = (
+        cand.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("embedding"), F.col("qe"))
+                / (F.col("vn") * F.col("qn")),
+                6,
+            ),
+        )
+        .select("qid", "vec_id", "cosine", "vb", "qb")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    lsh = (
+        scored.filter(F.col("vb") == F.col("qb"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", F.col("vec_id").alias("lsh_vec_id"))
+    )
+    return (
+        exact.join(
+            lsh,
+            (exact["qid"] == lsh["qid"]) & (exact["vec_id"] == lsh["lsh_vec_id"]),
+            "left",
+        )
+        .groupBy(exact["qid"].alias("query_id"))
+        .agg(
+            F.round(F.count("lsh_vec_id") / float(_RECALL_K), 2).alias("recall_at_10")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Banded sign-projection LSH near-dup (the scale-safe shape)
 # ---------------------------------------------------------------------------

@@ -510,6 +510,39 @@ def doc_train_split(spark, sf_dir):
 
 
 @q(
+    "balanced_sample_docs",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rnk
+      FROM documents)
+    SELECT doc_id, source, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    "deterministic balanced downsampling by source (corpus balancing for training "
+    "mixes): cap every source at K docs, picked by md5-of-key order — a pure function "
+    "of the data, so the sample is reproducible across runs, engines and cluster sizes "
+    "(unlike rand()/sampleBy, which no oracle can replay). One shuffle on source; the "
+    "per-source window never sees more than the source's rows, and at 100 TB the same "
+    "salted two-phase window as wave selection bounds a hot source's partition.",
+)
+def balanced_sample_docs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@q(
     "tfidf_top_terms",
     """
     WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
