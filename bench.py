@@ -48,6 +48,10 @@ EXTRA = [
     "json_map_features",
     "image_phash_topk",
     "training_set_pipeline",
+    # round 3
+    "balanced_sample_docs",
+    "ann_recall_report",
+    "price_percentiles_approx",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

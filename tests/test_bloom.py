@@ -177,3 +177,64 @@ def test_add_seeds_incremental_bloom(spark, world, tmp_path_factory, monkeypatch
     counts = scheduler.add_seeds(spark, cat, mk_frontier(batch2), robots)
     assert counts.get("added", 0) == 0
     assert counts["enqueued"] == 3
+
+
+def test_concurrent_add_seeds_serialize(spark, world, tmp_path_factory):
+    """Two ingests racing from separate threads: the catalog writer lock
+    serializes the bloom read-modify-write, so NEITHER delta is lost. A
+    lost delta would make re-ingested URLs bloom-negative and skip the
+    exact join — re-added as duplicates into the pool. Assert both batches
+    survive re-ingestion as 'enqueued' and the pool has no duplicate keys."""
+    import threading
+
+    root = str(tmp_path_factory.mktemp("cat_race_seeds"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images, CrawlConfig(batch_size=150),
+        stop_after_waves=1,
+    )
+
+    def mk_frontier(urls):
+        return spark.createDataFrame(
+            [(i, u, 0) for i, u in enumerate(urls)], "seq long, url string, priority int"
+        )
+
+    batches = [
+        [f"https://race-{b}.example/img/img_{i:012d}" for i in range(6)]
+        for b in ("a", "b")
+    ]
+    errs = []
+
+    def ingest(urls):
+        try:
+            c = scheduler.open_catalog(spark, root)  # separate catalog instance
+            scheduler.add_seeds(spark, c, mk_frontier(urls), robots)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=ingest, args=(b,)) for b in batches]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+
+    # both deltas survived: re-ingesting the union adds NOTHING
+    counts = scheduler.add_seeds(
+        spark, cat, mk_frontier(batches[0] + batches[1]), robots
+    )
+    assert counts.get("added", 0) == 0, counts
+    assert counts["enqueued"] == 12, counts
+    # and the pool has no duplicate canonical keys
+    from pyspark.sql import functions as F
+
+    dups = (
+        scheduler.pool_df(cat)
+        .groupBy("canon_url")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0

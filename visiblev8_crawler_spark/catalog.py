@@ -104,6 +104,25 @@ class ParquetCatalog:
         df.write.mode("overwrite").parquet(path)
         return path
 
+    def writer_lock(self):
+        """Exclusive inter-process lock for multi-step read-modify-write
+        transactions whose state spans MORE than one commit-critical
+        section — e.g. the seed ingest's bloom delta (read shards, OR in the
+        batch, publish), where two concurrent ingests would each read the
+        same base bitmap and the second commit would silently drop the
+        first's delta. Distinct lock file from the commit flock: a holder
+        still commits normally (same-process flock on the commit file would
+        self-deadlock), and plain wave-loop commits never take this lock."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _lock():
+            with open(os.path.join(self.root, "_writer.lock"), "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                yield
+
+        return _lock()
+
     def write_unpublished(self, name: str, df: DataFrame, tag: str) -> str:
         """Write a file set WITHOUT publishing it (invisible to readers until
         a later commit lists its path via ``prewritten``). Lets the caller run

@@ -608,6 +608,24 @@ def add_seeds(
     robots: DataFrame,
     fpp: float = 0.01,
 ) -> dict:
+    """Serialized entry point for seed ingest: the bloom maintenance inside
+    is a read-modify-write spanning the whole call (read shards → OR the
+    batch delta → publish), so concurrent ingests take the catalog's writer
+    lock and run one at a time — the 'single ingest writer' assumption is
+    now enforced, not documented. Wave-loop commits are unaffected (they
+    never touch the bloom or this lock). See _add_seeds_impl for the full
+    semantics."""
+    with cat.writer_lock():
+        return _add_seeds_impl(spark, cat, new_frontier, robots, fpp)
+
+
+def _add_seeds_impl(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    new_frontier: DataFrame,
+    robots: DataFrame,
+    fpp: float = 0.01,
+) -> dict:
     """Incremental seed ingest into a live/finished campaign — the rebuild of
     the reference's always-on submit path: new URLs arrive while a campaign
     runs (resend_script_ids.py:59-99 poll loop, C10) and each is checked
@@ -723,8 +741,8 @@ def add_seeds(
     all_new = schemas.conform(batch_rejects, schemas.FRONTIER_PREPARED).unionByName(ingested)
     # tag=None: derived from the commit counter inside the commit lock, so
     # a concurrent wave-loop commit can never collide with this one. (The
-    # bloom read-modify-write above still assumes a single ingest writer —
-    # two concurrent add_seeds calls would lose one's bloom delta.)
+    # bloom read-modify-write above is protected by the writer lock the
+    # public add_seeds wrapper holds for the whole ingest.)
     cat.commit(
         None,
         appends={
