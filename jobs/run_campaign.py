@@ -32,7 +32,9 @@ def main() -> None:
     ap.add_argument("--budget-scale", type=int, default=1)
     ap.add_argument("--wave-period", type=float, default=60.0,
                     help="seconds of politeness clock one wave models; a host "
-                         "with Crawl-delay d gets <= floor(period/d) rows/wave")
+                         "with Crawl-delay d earns period/d bucket credits per "
+                         "wave (carried across waves, capped at max_per_wave; "
+                         "d > period paces at one fetch per ceil(d/period) waves)")
     ap.add_argument(
         "--frontier-file",
         default=None,
