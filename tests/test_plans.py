@@ -100,6 +100,30 @@ def test_tfidf_df_join_not_forced_broadcast(spark):
     assert "SortMergeJoin" in p, p
 
 
+def test_select_wave_with_host_state_adds_no_exchange(spark, world):
+    """Round 3: joining the carried politeness state must add at most ONE
+    broadcast hash join to the selection plan — never an extra
+    pending-sized exchange (the state frame is an Arrow LocalRelation)."""
+    from visiblev8_crawler_spark import schemas
+    from visiblev8_crawler_spark.operators.dedup import prepare_frontier
+    from visiblev8_crawler_spark.operators.waves import salt_col, select_wave
+
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    prepared = prepare_frontier(frontier, robots).filter(F.col("reason").isNull())
+    pending = schemas.conform(
+        prepared.withColumn("salt", salt_col(F.col("canon_url"), 8)), schemas.PENDING
+    ).localCheckpoint(eager=True)
+    state = spark.createDataFrame(
+        [("host0.site0.example", 3.5, 2, 10, 1)], schemas.HOST_STATE
+    )
+    p = _plan(select_wave(pending, robots, 3, 150, host_state=state))
+    hash_exchanges = p.count("Exchange hashpartitioning")
+    assert hash_exchanges <= 2, f"{hash_exchanges} hash exchanges:\n{p}"
+    assert p.count("BroadcastHashJoin") == 2, p  # robots + state, both broadcast
+    assert "SortMergeJoin" not in p, p
+
+
 def test_select_wave_single_pending_exchange(spark, world):
     """PLANS.md §1: phase 1 is the only pending-sized exchange; the budget
     join broadcasts the robots dimension."""
