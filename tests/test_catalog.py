@@ -156,3 +156,63 @@ def test_concurrent_commits_serialize(spark, tmp_path_factory):
     assert not errs
     assert _rows(cat) == {("wave", i) for i in range(5)} | {("ingest", i) for i in range(100, 105)}
     assert cat.file_sets("t") == 10, "a racing commit lost a manifest swap"
+
+
+def test_stale_replace_aborts_with_catalog_untouched(spark, tmp_path_factory):
+    """ADVICE r3 (high): compact()'s snapshot is taken before the commit
+    flock, so an append landing in between (add_seeds against a live
+    campaign) used to be silently dropped by the blind replace. The
+    expect_replaced guard must abort the replace inside the critical
+    section, leaving every published set — including the interleaved
+    append — in the manifest."""
+    import pytest
+
+    from visiblev8_crawler_spark.catalog import ConcurrentReplaceError
+
+    root = str(tmp_path_factory.mktemp("cat_stale"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    cat.commit("w0", appends={"t": spark.createDataFrame([("a", 1)], T)})
+    cat.commit("w1", appends={"t": spark.createDataFrame([("b", 2)], T)})
+
+    # compact's view of the world...
+    expected = list(json.load(open(os.path.join(root, "_manifest.json")))["tables"]["t"])
+    snapshot = cat.read("t")
+    # ...then a concurrent ingest append lands before the replace commits
+    cat.commit("ingest-7", appends={"t": spark.createDataFrame([("c", 3)], T)})
+
+    with pytest.raises(ConcurrentReplaceError, match="re-read and retry"):
+        cat.commit(None, replaces={"t": snapshot}, expect_replaced={"t": expected})
+    assert _rows(cat) == {("a", 1), ("b", 2), ("c", 3)}, "interleaved append lost"
+    assert cat.file_sets("t") == 3
+
+
+def test_compact_serializes_with_ingest_writer(spark, tmp_path_factory):
+    """compact() itself must be safe against the add_seeds interleave: it
+    now snapshots AND commits under the catalog writer lock (the lock
+    add_seeds holds for its whole transaction). A competing writer-lock
+    holder appending between compact cycles never loses rows."""
+    import threading
+
+    root = str(tmp_path_factory.mktemp("cat_cw"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    want, errs = set(), []
+    for i in range(2):
+        cat.commit(f"a{i}", appends={"t": spark.createDataFrame([("base", i)], T)})
+        want.add(("base", i))
+
+    def ingester():
+        try:
+            c = ParquetCatalog(spark, root, {"t": T})
+            for i in range(4):
+                with c.writer_lock():  # the add_seeds discipline
+                    c.commit(None, appends={"t": spark.createDataFrame([("ing", i)], T)})
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = threading.Thread(target=ingester)
+    th.start()
+    for _ in range(3):
+        cat.compact("t", min_file_sets=1)
+    th.join()
+    assert not errs
+    assert _rows(cat) == want | {("ing", i) for i in range(4)}, "compact dropped an ingest append"

@@ -32,6 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+class ConcurrentReplaceError(RuntimeError):
+    """A replace commit found the table's published path list changed since
+    the caller snapshotted it (a concurrent append landed in between). The
+    catalog is untouched; re-snapshot and retry."""
+
+
 class ParquetCatalog:
     MANIFEST = "_manifest.json"
 
@@ -83,12 +89,30 @@ class ParquetCatalog:
         sets or the single new one, never both). Returns True if it ran."""
         if self.file_sets(name) < min_file_sets:
             return False
-        snapshot = self.read(name)
-        # tag=None: derived from the monotonic commit counter INSIDE the
-        # commit lock — never reuses a tag, so it can never overwrite the
-        # very path the lazy snapshot DataFrame is reading from, even with
-        # a concurrent committer bumping the counter
-        self.commit(None, replaces={name: snapshot})
+        # The snapshot path list is captured OUTSIDE the commit flock, and a
+        # replace blindly supersedes the table's published list — so an
+        # append landing between this read and the manifest swap (add_seeds
+        # ingest against a live campaign appends to frontier_prepared/
+        # rejected) would be silently dropped from the manifest. Two guards:
+        # the writer lock serializes compaction with the only concurrent
+        # appender (add_seeds holds it for its whole transaction), and
+        # expect_replaced makes commit() re-check the published list inside
+        # the critical section and abort the rewrite if it moved — the
+        # structural invariant, independent of caller lock discipline.
+        # (Do NOT call compact() while already holding writer_lock: flock
+        # re-entry from a second fd self-blocks.)
+        with self.writer_lock():
+            expected = self._load_manifest()["tables"].get(name, [])
+            if len(expected) < min_file_sets:
+                return False
+            snapshot = self.spark.read.schema(self.schemas[name]).parquet(*expected)
+            # tag=None: derived from the monotonic commit counter INSIDE the
+            # commit lock — never reuses a tag, so it can never overwrite the
+            # very path the lazy snapshot DataFrame is reading from, even
+            # with a concurrent committer bumping the counter
+            self.commit(
+                None, replaces={name: snapshot}, expect_replaced={name: expected}
+            )
         return True
 
     # -- reads -------------------------------------------------------------
@@ -149,6 +173,7 @@ class ParquetCatalog:
         prepared: bool | None = None,
         prewritten: dict[str, str] | None = None,
         meta: dict | None = None,
+        expect_replaced: dict[str, list[str]] | None = None,
     ) -> None:
         """Write all dataframes, then atomically publish them (plus any
         ``prewritten`` paths from write_unpublished) in one manifest swap.
@@ -205,6 +230,21 @@ class ParquetCatalog:
                     raise ValueError(
                         f"prewritten set for {name!r} is already published "
                         f"at {p!r}; it was overwritten outside this commit"
+                    )
+            # A replace supersedes the table's WHOLE published path list, so
+            # it is only sound if that list is still the one the replacement
+            # dataframe was derived from. expect_replaced carries the
+            # caller's snapshot of the list; a mismatch means a concurrent
+            # commit appended (or rewrote) in between — proceeding would
+            # silently drop those rows from the manifest. Abort with the
+            # catalog untouched; the caller re-snapshots and retries.
+            for name, expected in (expect_replaced or {}).items():
+                if m["tables"].get(name, []) != expected:
+                    raise ConcurrentReplaceError(
+                        f"replace of {name!r} aborted: published path list "
+                        f"changed since the snapshot was taken "
+                        f"({len(expected)} -> {len(m['tables'].get(name, []))} "
+                        "sets); re-read and retry"
                     )
 
             for name, df in (appends or {}).items():
