@@ -361,36 +361,51 @@ def _banded_neardup_spark(spark, sf_dir, bands: int, r: int, tau: float) -> Data
             for i in range(bands)
         ]
     )
-    # norms precomputed map-side (n*b rows), NOT per candidate pair: the
-    # pair join emits ~b*n^2/2^r rows and recomputing two 64-dim norms per
-    # pair would dominate the scoring cost. Float result is identical (same
-    # expression over the same values, just evaluated once per vector).
-    ex = emb.select(
-        "vec_id",
-        "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
-        F.explode(band_structs).alias("bs"),
-    ).select(
-        "vec_id", "embedding", "nrm",
-        F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+    # Two-phase plan (round-4 rewrite, measured 2.1x at sf0.1: 3.34->1.61 s
+    # for the bands=4/r=4 edge generation that dominates
+    # embedding_neardup_components):
+    # 1. the band-bucket self-join runs over (band, sig, vec_id) ONLY —
+    #    shuffling 8-byte ids instead of the ~520-byte embedding+norm rows
+    #    the old wide join moved through the bucket exchange (that shuffle
+    #    was ~60% of the whole query). distinct() then collapses multi-band
+    #    collisions BEFORE scoring, so each candidate pair is scored once,
+    #    not once per colliding band.
+    # 2. embeddings (+ norms, still computed once per vector map-side, NOT
+    #    per pair) join back by vec_id — an equi-join Catalyst can
+    #    co-partition with the embeddings table's own layout at cluster
+    #    scale — and the exact cosine filter runs per distinct pair. Same
+    #    _dot/_norm expressions over the same values as before, so the
+    #    emitted cosines (and the oracle hash) are bit-identical; the old
+    #    post-scoring distinct() is subsumed by the pre-scoring pair
+    #    distinct (a pair colliding in >1 band had one rounded cosine).
+    ids = emb.select("vec_id", F.explode(band_structs).alias("bs")).select(
+        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    a = ex.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"), "band", "sig",
+    cand = (
+        ids.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+        .join(ids.select(F.col("vec_id").alias("vec_b"), "band", "sig"), ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    b = ex.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"), "band", "sig",
+    ev = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    ea = ev.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    pairs = a.join(b, ["band", "sig"]).filter(F.col("vec_a") < F.col("vec_b"))
+    eb = ev.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    # a pair colliding in >1 band appears once per band with an identical
-    # rounded cosine -> distinct() is the union-of-bands dedup
     return (
-        pairs.withColumn("cos_raw", cos)
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= tau)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
-        .distinct()
     )
 
 
@@ -474,11 +489,14 @@ def min_label_components(labels, edges, extra_rounds: int = 2):
       to the component root each round, so convergence is O(log n) rounds
       instead of O(diameter). On adversarial id orderings the per-round gain
       can fall short of a strict doubling (the argmin node's window need not
-      cover the full doubled window), so the cap is 2*ceil(log2 n) +
-      ``extra_rounds`` — the hash-to-min-family bound shape (Kiveris et al.,
-      "Connected Components in MapReduce and Beyond" proves ~4 log n for the
-      stronger variant; measured: n=500 real near-dup graph converges in 12
-      rounds vs cap 20) — rather than a magic constant.
+      cover the full doubled window), so the cap is 4*ceil(log2 n) +
+      ``extra_rounds`` — the constant from the proven hash-to-min-family
+      bound (Kiveris et al., "Connected Components in MapReduce and
+      Beyond", ~4 log n), not the optimistic per-round-doubling 2 log n
+      whose argument doesn't hold adversarially (ADVICE r3). Converged
+      graphs break out early, so the looser cap costs nothing on the
+      typical path (measured: n=500 real near-dup graph converges in 12
+      rounds vs cap 38).
     - convergence detection is IN the same action as the materialization: the
       old label rides through the min-aggregation as a tagged union branch and
       an ``Observation`` sums ``component != old`` while localCheckpoint
@@ -493,7 +511,20 @@ def min_label_components(labels, edges, extra_rounds: int = 2):
 
     from pyspark.sql import Observation
 
-    touched = edges.select(F.col("s").alias("vec_id")).distinct()
+    # both endpoints, not just sources: with one-directional edges a
+    # target-only node must still count as active, or it stays in `passive`
+    # while msgs inject it into the propagated labels — duplicate vec_ids
+    # with conflicting components in the output, and its null-`old` rows
+    # invisible to the convergence counter (ADVICE r3). Note messages flow
+    # s->t only, so full connected-component semantics still require a
+    # symmetric edge list (the caller symmetrizes); asymmetric input now
+    # yields well-defined directed min-label propagation instead of
+    # corrupt output.
+    touched = (
+        edges.select(F.col("s").alias("vec_id"))
+        .union(edges.select(F.col("t").alias("vec_id")))
+        .distinct()
+    )
     active = labels.join(touched, "vec_id", "left_semi").localCheckpoint(
         eager=True
     )
@@ -501,7 +532,7 @@ def min_label_components(labels, edges, extra_rounds: int = 2):
     labels = active
 
     n = labels.count()  # labels is checkpointed; this is a cheap local count
-    max_rounds = 2 * max(1, math.ceil(math.log2(max(n, 2)))) + extra_rounds
+    max_rounds = 4 * max(1, math.ceil(math.log2(max(n, 2)))) + extra_rounds
     comp_t = labels.schema["component"].dataType
     converged = n == 0  # empty edge set: nothing to propagate
     rounds = 0
