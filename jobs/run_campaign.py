@@ -42,6 +42,14 @@ def main() -> None:
         "S1 path) instead of the synthetic frontier",
     )
     ap.add_argument(
+        "--host-state-mode",
+        default="auto",
+        choices=["auto", "dict", "table"],
+        help="politeness-state storage: driver dict + broadcast (dict), "
+        "catalog table merged atomically per wave (table, the 10^8-host "
+        "cluster path), or auto by pool host count",
+    )
+    ap.add_argument(
         "--image-sizes",
         default="16,24,32",
         help="comma-separated side lengths for the synthetic images; larger "
@@ -98,6 +106,7 @@ def main() -> None:
             default_budget=args.default_budget,
             salt_width=args.salt_width,
             wave_period_s=args.wave_period,
+            host_state_mode=args.host_state_mode,
         ),
         stop_after_waves=args.stop_after_waves,
     )

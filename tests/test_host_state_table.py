@@ -1,0 +1,116 @@
+"""_TableHostState (cluster-path politeness state) equivalence gate.
+
+VERDICT r3 #3: the 10^8-host path — politeness state as a catalog table
+merged atomically per wave — must be implemented behind a threshold and
+proven equivalent to the driver-dict path: same campaign, bit-identical
+selection (fetches ledger) and bit-identical final state (credit doubles
+compared exactly; all paths share the politeness_exprs IEEE arithmetic).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from visiblev8_crawler_spark.streaming import scheduler
+from visiblev8_crawler_spark.streaming.scheduler import CrawlConfig
+
+BATCH = 150
+# demote_after_failures=2 so the abuse-demotion branch BINDS in this small
+# world (~10% of fetches fail): equivalence must hold through demotion, not
+# just the happy token-bucket path
+CFG_KW = dict(batch_size=BATCH, demote_after_failures=2)
+
+
+def _run(spark, world, tmp_path_factory, mode, **kw):
+    root = str(tmp_path_factory.mktemp(f"cat_hs_{mode}"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cfg = CrawlConfig(host_state_mode=mode, **CFG_KW, **kw)
+    cat = scheduler.run_campaign(spark, root, frontier, robots, images, cfg, **{})
+    return cat, cfg, (frontier, robots, images, root)
+
+
+def _fetch_rows(cat):
+    return {
+        (r["canon_url"], r["attempt"], r["wave_id"], r["order_in_wave"], r["status"])
+        for r in cat.read("fetches").collect()
+    }
+
+
+def _state_rows(df):
+    # credit compared EXACTLY (no tolerance): the dict, the table merge and
+    # the resume fold all run the same IEEE-double operation order
+    return {
+        r["host"]: (r["credit"], r["last_wave"], r["ok"], r["failed"])
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def dict_run(spark, world, tmp_path_factory):
+    return _run(spark, world, tmp_path_factory, "dict")
+
+
+@pytest.fixture(scope="module")
+def table_run(spark, world, tmp_path_factory):
+    return _run(spark, world, tmp_path_factory, "table")
+
+
+def test_selection_bit_identical(dict_run, table_run):
+    """Every fetch row — url, attempt, wave, in-wave order, verdict — equal
+    between the dict and table politeness paths."""
+    assert _fetch_rows(dict_run[0]) == _fetch_rows(table_run[0])
+
+
+def test_final_state_bit_identical(spark, world, dict_run, table_run):
+    """The committed host_state table == the ledger fold of the dict-path
+    catalog == the ledger fold of its own catalog (state is still a
+    projection of fetches, just materialized)."""
+    cat_d = dict_run[0]
+    cat_t, cfg, _ = table_run
+    robots = spark.read.parquet(world["paths"]["robots"])
+
+    table_state = _state_rows(cat_t.read("host_state"))
+    assert table_state, "table mode committed no host_state rows"
+
+    for cat in (cat_d, cat_t):
+        fold = scheduler.host_state_df(
+            cat, robots, cfg.default_budget, cfg.wave_period_s,
+            cfg.demote_after_failures, cfg.demote_factor,
+        )
+        assert _state_rows(fold) == table_state
+
+
+def test_table_mode_kill_resume(spark, world, tmp_path_factory, table_run):
+    """Kill after 2 waves, resume in table mode: final ledger and state
+    table byte-equal to the uninterrupted table-mode campaign."""
+    root = str(tmp_path_factory.mktemp("cat_hs_resume"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cfg = CrawlConfig(host_state_mode="table", **CFG_KW)
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images, cfg, stop_after_waves=2
+    )
+    assert cat.watermark() == 1
+    # state committed with the wave: present and at the same watermark
+    assert cat.file_sets("host_state") == 1
+    cat = scheduler.run_campaign(spark, root, frontier, robots, images, cfg)
+
+    assert _fetch_rows(cat) == _fetch_rows(table_run[0])
+    assert _state_rows(cat.read("host_state")) == _state_rows(
+        table_run[0].read("host_state")
+    )
+
+
+def test_auto_threshold_picks_table(spark, world, tmp_path_factory):
+    """host_state_mode='auto' with a threshold below the world's host count
+    must take the table path (and still drain the campaign)."""
+    root = str(tmp_path_factory.mktemp("cat_hs_auto"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cfg = CrawlConfig(host_state_mode="auto", host_state_broadcast_max=5, **CFG_KW)
+    cat = scheduler.run_campaign(spark, root, frontier, robots, images, cfg)
+    assert cat.file_sets("host_state") == 1, "auto mode did not materialize state"
+    assert scheduler.pending_df(cat).count() == 0

@@ -144,3 +144,16 @@ def test_select_wave_single_pending_exchange(spark, world):
     assert hash_exchanges <= 2, f"{hash_exchanges} hash exchanges:\n{p}"
     assert "BroadcastHashJoin" in p, "robots budget join must broadcast"
     assert "SortMergeJoin" not in p, p
+
+
+def test_balanced_sample_salted_two_phase(spark):
+    """VERDICT r3 #2: the per-source sample window must be the two-phase
+    salted construction — phase 1 partitions on (source, salt) so a hot
+    source never funnels through one window partition; phase 2's exact
+    per-source window only sees <= S*K survivors."""
+    p = _plan(entry_mod.queries()["balanced_sample_docs"](spark, SF_DIR))
+    import re
+
+    # two window operators, the first partitioned by (source, _salt)
+    assert re.search(r"hashpartitioning\(source[^)]*_salt", p), p
+    assert p.count("Window") >= 2, p

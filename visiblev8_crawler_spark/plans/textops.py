@@ -524,21 +524,35 @@ def doc_train_split(spark, sf_dir):
     "deterministic balanced downsampling by source (corpus balancing for training "
     "mixes): cap every source at K docs, picked by md5-of-key order — a pure function "
     "of the data, so the sample is reproducible across runs, engines and cluster sizes "
-    "(unlike rand()/sampleBy, which no oracle can replay). One shuffle on source; the "
-    "per-source window never sees more than the source's rows, and at 100 TB the same "
-    "salted two-phase window as wave selection bounds a hot source's partition.",
+    "(unlike rand()/sampleBy, which no oracle can replay). Two-phase salted window "
+    "(the select_wave construction, operators/waves.py): phase 1 ranks within "
+    "(source, salt) and keeps rank <= K, so a hot source with 10^9 docs is split "
+    "across S window partitions; phase 2 takes the exact per-source rank over the "
+    "<= S*K survivors. Output provably identical to the unsalted window: the "
+    "per-source top-K by any total order is a subset of the union of per-salt "
+    "top-Ks (rank <= K within source implies rank <= K within (source, salt)).",
 )
-def balanced_sample_docs(spark, sf_dir):
+def balanced_sample_docs(spark, sf_dir, salt_width: int = 8, k: int = 5):
     from pyspark.sql import Window
 
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    return (
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    salted = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "source")
-        .withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 5)
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("doc_id"), F.lit("sample-salt")), salt_width)
+        )
+    )
+    w1 = Window.partitionBy("source", "_salt").orderBy(*order)
+    bounded = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("source").orderBy(*order)
+    return (
+        bounded.withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk") <= k)
     )
 
 

@@ -70,6 +70,10 @@ TABLE_SCHEMAS = {
     "rejected": schemas.REJECTED,
     "metrics": schemas.METRICS,
     "bloom": schemas.BLOOM_STATE,
+    # cluster-path politeness state (_TableHostState): rewritten atomically
+    # WITH each wave's commit, so it can never be stale relative to the
+    # fetch ledger it summarizes. Absent in dict-mode campaigns.
+    "host_state": schemas.HOST_STATE,
 }
 
 
@@ -216,12 +220,16 @@ class _HostState:
     it as a broadcast dimension either way — holding the authoritative copy
     on the driver removes one checkpoint action + one aggregation job per
     wave (measured 0.4 s/wave at local[8], the entire politeness overhead).
-    On a real cluster past broadcast range the state becomes a
-    host-bucketed Iceberg table MERGEd per wave; the update arithmetic
-    below is the exact Python mirror of waves.politeness_exprs /
-    simulator.simulate_campaign, so all three implementations stay in
-    IEEE-double lockstep. Resume re-derives the dict by folding the fetch
+    Past broadcast range (cfg.host_state_broadcast_max hosts) the
+    scheduler switches to _TableHostState — the state lives as a catalog
+    table merged atomically per wave; the update arithmetic below is the
+    exact Python mirror of waves.politeness_exprs /
+    simulator.simulate_campaign, so all implementations stay in
+    IEEE-double lockstep (dict-vs-table equivalence is tested
+    bit-identical). Resume re-derives the dict by folding the fetch
     ledger (host_state_df) — state is still a projection of fetches."""
+
+    broadcast = True  # selection consumes as_df() as a broadcast dimension
 
     def __init__(self, rows, robots_rows, cfg: "CrawlConfig"):
         self.state = {
@@ -299,6 +307,104 @@ class _HostState:
             ]
 
 
+class _TableHostState:
+    """Cluster-path politeness state: the ``host_state`` catalog table,
+    rewritten in the SAME atomic commit as the wave it reflects (Iceberg
+    MERGE-per-wave analog). This is the overflow path the _HostState
+    docstring promises: past broadcast range (cfg.host_state_broadcast_max
+    hosts) the per-host state neither lives on the driver nor rides a
+    broadcast — selection joins it shuffle-side (state_broadcast=False;
+    bucketed-by-host Iceberg layout makes that storage-partitioned), and
+    the per-wave update is a distributed merge built from the SAME
+    politeness_exprs arithmetic the selection and the dict path use, so
+    all paths stay in IEEE-double lockstep (the dict-vs-table equivalence
+    test asserts bit-identical selection AND final state).
+
+    Update recurrence per touched host (identical to _HostState.update):
+        eff        = min(credit + rate*(wave - last_wave), cap)   # exprs
+        credit'    = eff - n_sel
+        last_wave' = wave
+        ok'        = ok + n_ok;  failed' = failed + (n_sel - n_ok)
+    Untouched hosts carry over via an anti-join (their rows are immutable
+    this wave). Hosts first seen this wave enter through the exprs' null
+    defaults (credit 0, last_wave -1) — exactly _HostState's .get default.
+
+    Crash safety: the new state frame is written inside the wave's atomic
+    commit (multi-table manifest swap), so a kill anywhere leaves state
+    and ledger at the same watermark; resume reads the committed table, or
+    falls back to the host_state_df ledger fold when the catalog has none
+    (e.g. a campaign started in dict mode) — the fold and the table are
+    equal by construction.
+
+    Unlike the dict path, as_df applies NO relevance filter: the filter
+    only shrinks a broadcast, and here the join shuffles either way; the
+    full table yields identical budgets (the filter is provably exact)."""
+
+    broadcast = False  # selection must not force-broadcast this dimension
+
+    def __init__(self, cat: ParquetCatalog, robots: DataFrame, cfg: "CrawlConfig"):
+        self.cat = cat
+        self.robots = robots
+        self.cfg = cfg
+        self._bootstrap: DataFrame | None = None
+
+    def seed_from_fold(self, df: DataFrame) -> None:
+        """Adopt a ledger fold (host_state_df) as the pre-first-commit
+        state — used when the catalog has no host_state table yet."""
+        self._bootstrap = df.localCheckpoint(eager=True)
+
+    def _current(self) -> DataFrame:
+        if self._bootstrap is not None:
+            return self._bootstrap
+        return self.cat.read("host_state")
+
+    def as_df(self, spark: SparkSession) -> DataFrame:
+        return self._current()
+
+    def merged(self, spark: SparkSession, wave_id: int, fetches_path: str) -> DataFrame:
+        """The post-wave state frame (lazy) — handed to the wave's commit as
+        ``replaces={"host_state": ...}``. Reads only immutable inputs: the
+        just-written (still unpublished) wave parquet and the previous
+        committed state."""
+        from ..operators.waves import join_politeness_dims, politeness_exprs
+
+        cfg = self.cfg
+        stats = (
+            spark.read.schema(schemas.FETCHES)
+            .parquet(fetches_path)
+            .groupBy("host")
+            .agg(
+                F.count("*").alias("n_sel"),
+                F.sum(F.when(F.col("status") == "OK", 1).otherwise(0)).alias("n_ok"),
+            )
+        )
+        old = self._current()
+        e = politeness_exprs(
+            wave_id, cfg.default_budget, cfg.wave_period_s,
+            cfg.demote_after_failures, cfg.demote_factor,
+        )
+        touched = join_politeness_dims(stats, self.robots, old, state_broadcast=False)
+        new_touched = touched.select(
+            "host",
+            (e["eff_credit"] - F.col("n_sel")).alias("credit"),
+            F.lit(wave_id).alias("last_wave"),
+            (F.coalesce(F.col("ok"), F.lit(0)) + F.col("n_ok")).alias("ok"),
+            (
+                F.coalesce(F.col("failed"), F.lit(0))
+                + (F.col("n_sel") - F.col("n_ok"))
+            ).alias("failed"),
+        )
+        untouched = old.join(stats.select("host"), "host", "left_anti")
+        return schemas.conform(
+            untouched.unionByName(new_touched), schemas.HOST_STATE
+        )
+
+    def on_committed(self) -> None:
+        """The wave commit published the merged table; drop any bootstrap so
+        reads go to the catalog from now on."""
+        self._bootstrap = None
+
+
 @dataclass
 class CrawlConfig:
     batch_size: int = 1000
@@ -333,6 +439,15 @@ class CrawlConfig:
     # 0 disables. Runs AFTER the wave commit, as its own atomic commit, so a
     # kill between them loses nothing.
     compact_every: int = 64
+    # politeness-state storage: "dict" = driver-held + broadcast dimension
+    # (measured ~zero wall cost; right up to millions of hosts at ~50
+    # B/host), "table" = host_state catalog table merged atomically per
+    # wave with shuffle-side selection join (_TableHostState; the 10^8-host
+    # path), "auto" = table iff the pool's distinct host count exceeds
+    # host_state_broadcast_max. Both paths produce bit-identical selection
+    # and state (equivalence-tested).
+    host_state_mode: str = "auto"
+    host_state_broadcast_max: int = 1_000_000
 
 
 def open_catalog(spark: SparkSession, root: str) -> ParquetCatalog:
@@ -415,16 +530,37 @@ def run_campaign(
     pending = pending_df(cat, salt_width).localCheckpoint(eager=True)
     # politeness state resumes from the ledger too (empty ledger -> empty
     # state): the distributed fold replays exactly what the in-run updates
-    # computed, then the per-host aggregate comes to the driver (bloom-shard
-    # pattern; see _HostState)
-    hstate = _HostState(
-        host_state_df(
-            cat, robots, cfg.default_budget, cfg.wave_period_s,
-            cfg.demote_after_failures, cfg.demote_factor,
-        ).collect(),
-        robots_dim(robots).collect(),
-        cfg,
-    )
+    # computed. Storage mode: driver dict + broadcast below the host-count
+    # threshold (the fold's per-host aggregate comes to the driver,
+    # bloom-shard pattern; see _HostState), catalog table merged per wave
+    # above it (_TableHostState).
+    mode = cfg.host_state_mode
+    if mode == "auto":
+        n_hosts = pool_df(cat).select("host").distinct().count()
+        mode = "table" if n_hosts > cfg.host_state_broadcast_max else "dict"
+    if mode == "table":
+        hstate: _HostState | _TableHostState = _TableHostState(cat, robots, cfg)
+        if cat.file_sets("host_state") == 0:
+            # no committed state (fresh campaign, or one started in dict
+            # mode): bootstrap from the ledger fold — equal to what the
+            # table would contain, by the three-way lockstep arithmetic
+            hstate.seed_from_fold(
+                host_state_df(
+                    cat, robots, cfg.default_budget, cfg.wave_period_s,
+                    cfg.demote_after_failures, cfg.demote_factor,
+                )
+            )
+    elif mode == "dict":
+        hstate = _HostState(
+            host_state_df(
+                cat, robots, cfg.default_budget, cfg.wave_period_s,
+                cfg.demote_after_failures, cfg.demote_factor,
+            ).collect(),
+            robots_dim(robots).collect(),
+            cfg,
+        )
+    else:
+        raise ValueError(f"unknown host_state_mode {cfg.host_state_mode!r}")
 
     wave_id = cat.watermark() + 1
     try:
@@ -452,6 +588,7 @@ def _wave_loop(
             break
         t0 = time.perf_counter()
         state_df = hstate.as_df(spark)
+        state_broadcast = getattr(hstate, "broadcast", True)
         # select_wave necessarily funnels through one partition to assign
         # order_in_wave (bounded <= batch_size rows); re-spread the wave so
         # the fetch UDF uses every core instead of one.
@@ -462,6 +599,7 @@ def _wave_loop(
                 host_state=state_df,
                 demote_after_failures=cfg.demote_after_failures,
                 demote_factor=cfg.demote_factor,
+                state_broadcast=state_broadcast,
             )
             .repartition(P, "canon_url")
             .persist()
@@ -488,7 +626,8 @@ def _wave_loop(
             if pending.isEmpty():
                 break
             nxt = next_eligible_wave(
-                pending, robots, state_df, cfg.default_budget, cfg.wave_period_s
+                pending, robots, state_df, cfg.default_budget, cfg.wave_period_s,
+                state_broadcast,
             )
             if nxt is None:  # no pending host can ever fetch (cap 0)
                 break
@@ -511,43 +650,59 @@ def _wave_loop(
             schemas.METRICS,
         )
 
-        # the atomic wave commit: appends only — nothing is rewritten
+        # the atomic wave commit. Dict mode: appends only — nothing is
+        # rewritten. Table mode: the merged politeness state rides the SAME
+        # manifest swap (multi-table commit), so ledger and state can never
+        # disagree at a resume point; the merge plan reads only immutable
+        # inputs (the unpublished wave parquet + the previous committed
+        # state), so writing it inside the commit critical section is safe.
         t_commit = time.perf_counter()
+        table_mode = isinstance(hstate, _TableHostState)
         cat.commit(
             f"wave={wave_id}",
             appends={"metrics": metrics},
+            replaces=(
+                {"host_state": hstate.merged(spark, wave_id, fetches_path)}
+                if table_mode
+                else None
+            ),
             prewritten={"fetches": fetches_path},
             watermark=wave_id,
         )
+        if table_mode:
+            hstate.on_committed()
 
-        # per-host outcome aggregate for the politeness state: a 2-column
-        # columnar scan of the just-committed wave parquet, submitted on a
-        # background thread so it runs CONCURRENTLY with the pending-update
-        # checkpoint below and costs ~zero wall time (both read immutable
-        # committed data; Spark schedules jobs from separate threads fine)
+        # dict mode only: per-host outcome aggregate for the politeness
+        # state — a 2-column columnar scan of the just-committed wave
+        # parquet, submitted on a background thread so it runs CONCURRENTLY
+        # with the pending-update checkpoint below and costs ~zero wall
+        # time (both read immutable committed data; Spark schedules jobs
+        # from separate threads fine)
         import threading
 
         stats_box: dict = {}
+        stats_thread = None
+        if not table_mode:
 
-        def _collect_stats(path=fetches_path, box=stats_box):
-            try:
-                box["rows"] = (
-                    spark.read.schema(schemas.FETCHES)
-                    .parquet(path)
-                    .groupBy("host")
-                    .agg(
-                        F.count("*").alias("n_sel"),
-                        F.sum(
-                            F.when(F.col("status") == "OK", 1).otherwise(0)
-                        ).alias("n_ok"),
+            def _collect_stats(path=fetches_path, box=stats_box):
+                try:
+                    box["rows"] = (
+                        spark.read.schema(schemas.FETCHES)
+                        .parquet(path)
+                        .groupBy("host")
+                        .agg(
+                            F.count("*").alias("n_sel"),
+                            F.sum(
+                                F.when(F.col("status") == "OK", 1).otherwise(0)
+                            ).alias("n_ok"),
+                        )
+                        .collect()
                     )
-                    .collect()
-                )
-            except BaseException as e:  # surfaced at join below
-                box["err"] = e
+                except BaseException as e:  # surfaced at join below
+                    box["err"] = e
 
-        stats_thread = threading.Thread(target=_collect_stats, daemon=True)
-        stats_thread.start()
+            stats_thread = threading.Thread(target=_collect_stats, daemon=True)
+            stats_thread.start()
 
         # incremental pending update (in-memory mirror of pending_df over the
         # new snapshot): drop this wave's rows, add this wave's retryable
@@ -577,11 +732,13 @@ def _wave_loop(
             .localCheckpoint(eager=True)
         )
         # politeness bucket + abuse record for the <= hosts-in-wave touched
-        # hosts — fed by the overlapped stats scan
-        stats_thread.join()
-        if "err" in stats_box:
-            raise stats_box["err"]
-        hstate.update(wave_id, stats_box["rows"])
+        # hosts — fed by the overlapped stats scan (dict mode; table mode
+        # already merged inside the commit)
+        if stats_thread is not None:
+            stats_thread.join()
+            if "err" in stats_box:
+                raise stats_box["err"]
+            hstate.update(wave_id, stats_box["rows"])
         selected.unpersist()
 
         # periodic maintenance: compaction is its own atomic commit after
