@@ -159,6 +159,28 @@ PSL_OFFICIAL_CORPUS = [
     ("k12.ak.us", None),
     ("test.k12.ak.us", "test.k12.ak.us"),
     ("www.test.k12.ak.us", "test.k12.ak.us"),
+    # IDN labels (restored in round 4 — the generated full-list tables carry
+    # every unicode rule in both forms, so the previously-excluded block of
+    # the official file now passes verbatim).
+    ("食狮.com.cn", "食狮.com.cn"),
+    ("食狮.公司.cn", "食狮.公司.cn"),
+    ("www.食狮.公司.cn", "食狮.公司.cn"),
+    ("shishi.公司.cn", "shishi.公司.cn"),
+    ("公司.cn", None),
+    ("食狮.中国", "食狮.中国"),
+    ("www.食狮.中国", "食狮.中国"),
+    ("shishi.中国", "shishi.中国"),
+    ("中国", None),
+    # Same as above, but punycoded.
+    ("xn--85x722f.com.cn", "xn--85x722f.com.cn"),
+    ("xn--85x722f.xn--55qx5d.cn", "xn--85x722f.xn--55qx5d.cn"),
+    ("www.xn--85x722f.xn--55qx5d.cn", "xn--85x722f.xn--55qx5d.cn"),
+    ("shishi.xn--55qx5d.cn", "shishi.xn--55qx5d.cn"),
+    ("xn--55qx5d.cn", None),
+    ("xn--85x722f.xn--fiqs8s", "xn--85x722f.xn--fiqs8s"),
+    ("www.xn--85x722f.xn--fiqs8s", "xn--85x722f.xn--fiqs8s"),
+    ("shishi.xn--fiqs8s", "shishi.xn--fiqs8s"),
+    ("xn--fiqs8s", None),
 ]
 
 
@@ -196,6 +218,28 @@ def test_etld1_public_suffix_spark(spark):
     got = {r["host"]: r["e"] for r in df.select("host", etld1_col(F.col("host")).alias("e")).collect()}
     for host, expected in PSL_CASES:
         assert got[host] == expected, (host, got[host], expected)
+
+
+def test_etld1_full_list_plan_compile_bounded(spark):
+    """The full generated list is ~8.3k InSet entries across the decision
+    chain; the expression is a plan-time constant, but analysis/codegen must
+    stay cheap enough that every canonicalization projection can afford it.
+    Measured ~0.5 s cold; gate at 10 s so only a pathological blowup fails."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from visiblev8_crawler_spark.functions.psl import etld1_col
+    from visiblev8_crawler_spark.functions.psl_data import COUNTS
+
+    assert COUNTS["exact"] > 8000, COUNTS  # the full list, not the old subset
+    df = spark.createDataFrame([("www.example.co.uk",)], "host string")
+    t0 = time.perf_counter()
+    out = df.select(etld1_col(F.col("host")).alias("e"))
+    out.explain(mode="simple")  # forces analysis + physical planning
+    dt = time.perf_counter() - t0
+    assert dt < 10.0, f"plan compile took {dt:.1f}s at {COUNTS} rules"
+    assert out.collect()[0]["e"] == "example.co.uk"
 
 
 def test_image_id_extraction():

@@ -21,15 +21,13 @@ Canonical form:
     drop #fragment -> keep ?query.
     canon_url = scheme://host + path + ('?'+query if query)
     etld1     = public-suffix eTLD+1 (functions/psl.py: the full PSL
-                longest-match algorithm over a bundled ~800-rule curated
-                snapshot, InSet expressions). The ALGORITHM matches the
-                url_etld1 contract of 2_mega:24 (verified against the
-                official publicsuffix.org checkPublicSuffix corpus,
-                tests/test_urls.py); the RULE SET is a subset of the ~9k
-                published rules — hosts under an unlisted multi-label
-                suffix fall back to the default rule (last 2 labels).
-                Offline build constraint; regenerate psl.py's tables from
-                public_suffix_list.dat to close the gap.
+                longest-match algorithm over the COMPLETE published list —
+                psl_data.py generated from public_suffix_list.dat by
+                tools/gen_psl_data.py, ~8.3k multi-label rules incl.
+                IDNA/punycode twins — as InSet expressions). Matches the
+                url_etld1 contract of 2_mega:24; the unabridged official
+                publicsuffix.org checkPublicSuffix corpus (IDN rows
+                included) passes in tests/test_urls.py.
     stemmed   = scheme://host + path  (the url_stemmed column, 2_mega:25)
 """
 
