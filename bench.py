@@ -5,7 +5,16 @@ Runs the headline query suite at ``$SPARK_GRAFT_SF_DIR`` (default
 throughput microbench on the synthetic world, and prints ONE JSON line:
 
     {"metric": "headline_suite_sec", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>, "crawl_rows_per_s": ...}
+     "queries": {name: sec, ...}, "runs": 3, "sf": <sf>,
+     "crawl_rows_per_s": ...}
+
+Per-query numbers are the MEDIAN of 3 back-to-back runs (round 4, VERDICT
+r3 #7): the machine-drift A/B showed identical code spanning ±11% in one
+session, so single-shot per-query numbers cannot support cross-round
+comparisons. Medians damp that structurally. Note vs rounds 1-3: their
+numbers were single first-execution timings (colder caches); the medians
+here sit lower on queries whose first run pays shuffle-file or JIT warmup
+— BASELINE.md §D records the switch.
 
 For the north-rule two-cluster-size scaling evidence (local[8] vs local[32])
 run ``python bench_scaling.py`` — that needs two separate JVMs, so it can't
@@ -152,19 +161,27 @@ def main() -> None:
               "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    import statistics
+
+    RUNS = 3
+
+    def timed_median(fn) -> float:
+        ts = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(statistics.median(ts), 3)
+
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        per_query[name] = timed_median(lambda: qs[name](spark, sf_dir).collect())
 
     # round-2 operators, timed OUTSIDE the headline so headline_suite_sec
     # stays directly comparable across rounds
     extra: dict[str, float] = {}
     for name in EXTRA:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        extra[name] = round(time.perf_counter() - t0, 3)
+        extra[name] = timed_median(lambda: qs[name](spark, sf_dir).collect())
 
     crawl = _crawl_bench(spark, cpus)
     total = round(sum(per_query.values()), 3)
@@ -175,6 +192,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "runs": RUNS,
                 "extra_queries": extra,
                 "extra_sec": round(sum(extra.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

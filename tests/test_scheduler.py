@@ -393,3 +393,53 @@ def test_kill_resume_identical(spark, world, spark_run, tmp_path_factory):
         b = {tuple(r[k] for k in keys) for r in spark_run.read(table).collect()}
         assert a == b, table
     assert scheduler.pending_df(cat).count() == 0
+
+
+def test_failed_stats_scan_fails_campaign_cleanly(
+    spark, world, spark_run, tmp_path_factory, monkeypatch
+):
+    """VERDICT r3 #8: the overlapped per-wave stats scan re-raises on join —
+    a failed scan (injected here into wave 1's background read) must fail
+    the campaign AFTER that wave's atomic commit but BEFORE any later wave
+    could run on stale politeness state. The catalog is left at a clean
+    watermark, and a plain resume (politeness state refolds from the
+    ledger) finishes byte-identical to the uninterrupted campaign."""
+    import threading
+
+    import pyspark.sql.readwriter as rw
+
+    root = str(tmp_path_factory.mktemp("cat_statsfail"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cfg = CrawlConfig(batch_size=BATCH)
+
+    orig = rw.DataFrameReader.parquet
+
+    def bomb(self, *paths):
+        # only the BACKGROUND stats read of wave 1's parquet fails; the
+        # main thread's pending-update read of the same path is untouched
+        if (
+            threading.current_thread() is not threading.main_thread()
+            and any(p.startswith(root) and "wave=1" in p for p in paths)
+        ):
+            raise RuntimeError("injected stats scan failure")
+        return orig(self, *paths)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", bomb)
+    with pytest.raises(RuntimeError, match="injected stats scan failure"):
+        scheduler.run_campaign(spark, root, frontier, robots, images, cfg)
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", orig)
+
+    cat = scheduler.open_catalog(spark, root)
+    assert cat.watermark() == 1, "failed before wave 1's commit or after wave 2"
+
+    cat = scheduler.run_campaign(spark, root, frontier, robots, images, cfg)
+    for table, keys in [
+        ("fetches", ["canon_url", "attempt", "wave_id", "order_in_wave", "status"]),
+        ("metrics", ["wave_id", "n_attempted", "n_ok", "n_failed"]),
+    ]:
+        a = {tuple(r[k] for k in keys) for r in cat.read(table).collect()}
+        b = {tuple(r[k] for k in keys) for r in spark_run.read(table).collect()}
+        assert a == b, table
+    assert scheduler.pending_df(cat).count() == 0

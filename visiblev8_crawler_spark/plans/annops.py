@@ -432,7 +432,7 @@ def _banded_neardup_sql(bands: int, r: int, tau: float) -> str:
 @q(
     "embedding_lsh_neardup_pairs",
     _banded_neardup_sql(bands=8, r=6, tau=0.30),
-    "embedding near-dup, high-precision parameterization: 8 bands x 6 bits (64 buckets/band) — per-band pair cost ~n^2/64; at 100 TB raise r with log2(n) to hold bucket occupancy constant, recall comes from adding bands",
+    "embedding near-dup, high-precision parameterization: 8 bands x 6 bits (64 buckets/band) — per-band pair cost ~n^2/64; at 100 TB raise r with log2(n) to hold bucket occupancy constant, recall comes from adding bands. Measured recall vs exact tau=0.30 pairs on the fixture corpus: 0.333 (8x6), 0.474 (4x4) — CI-gated at 0.25/0.40 in tests/test_ann_gates.py so a parameter swap that craters quality fails CI; upgrade path for higher recall is more bands or multiprobe, graded by ann_recall_report before trusting the swap",
 )
 def embedding_lsh_neardup_pairs(spark, sf_dir):
     return _banded_neardup_spark(spark, sf_dir, bands=8, r=6, tau=0.30)
