@@ -61,6 +61,9 @@ EXTRA = [
     "balanced_sample_docs",
     "ann_recall_report",
     "price_percentiles_approx",
+    # round 4
+    "embedding_lsh_multiprobe_topk",
+    "benchmark_contamination",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

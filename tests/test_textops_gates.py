@@ -1,0 +1,59 @@
+"""benchmark_contamination correctness gate. The query carries no driver
+oracle (the hard-signal window holds 50 rows, already filled by the 50
+oracle-gated queries), so this pytest replica — same DuckDB engine the
+driver uses, SQL kept next to the Spark plan — IS its correctness check.
+"""
+
+import duckdb
+
+from visiblev8_crawler_spark.plans.queries import QUERIES
+from visiblev8_crawler_spark.plans.textops import _CONTAMINATION_ORACLE_SQL
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_contamination_oracle_replica(spark):
+    got = [
+        (r["doc_id"], r["n_shingles"], r["n_hit"], r["overlap"], r["contaminated"])
+        for r in QUERIES["benchmark_contamination"].spark(spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(_CONTAMINATION_ORACLE_SQL).fetchall()]
+    assert len(got) > 0
+    assert got == want
+
+
+def test_contamination_planted_leak(spark):
+    """Semantics, not just parity: plant a test-split doc whose text IS a
+    train-split doc's text — the screen must flag it with overlap 1.0,
+    while an unrelated test doc stays clean."""
+    from pyspark.sql import functions as F
+
+    from visiblev8_crawler_spark.plans.textops import benchmark_contamination
+
+    # find one md5-bucket doc_id per split deterministically
+    def bucket(doc_id):
+        import hashlib
+
+        return ord(hashlib.md5(str(doc_id).encode()).hexdigest()[0]) % 10
+
+    train_id = next(i for i in range(1, 500) if bucket(i) < 8)
+    test_ids = [i for i in range(1, 500) if bucket(i) >= 9][:2]
+    leak_id, clean_id = test_ids
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (train_id, body, len(body), "synthetic"),
+        (leak_id, body, len(body), "synthetic"),  # verbatim leak
+        (clean_id, "one two three four five six seven eight", 39, "synthetic"),
+    ]
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="contam_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in benchmark_contamination(spark, d).collect()}
+    assert out[leak_id]["contaminated"] and out[leak_id]["overlap"] == 1.0
+    assert not out[clean_id]["contaminated"] and out[clean_id]["n_hit"] == 0

@@ -671,3 +671,101 @@ def training_set_pipeline(spark, sf_dir):
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination screen (round 4)
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 5  # n-gram width: long enough that a hit means shared phrasing,
+#               short enough to fire on the fixture corpus's short docs
+
+# DuckDB replica of benchmark_contamination — NOT wired as a driver oracle
+# (the driver's hard-signal window holds 50 rows and the registry already
+# carries exactly 50 oracle-gated queries, r3 verdict #1); pytest runs it
+# against the same engine the driver uses (tests/test_textops_gates.py).
+# Kept adjacent to the Spark plan so the two cannot drift.
+_CONTAMINATION_ORACLE_SQL = f"""
+    WITH t AS (SELECT doc_id,
+           CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 8
+                THEN 'train'
+                WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 9
+                THEN 'valid' ELSE 'test' END AS split,
+           string_split(text, ' ') AS toks FROM documents),
+    sh0 AS (SELECT doc_id, split,
+           unnest(CASE WHEN len(toks) >= {_CONTAM_N}
+                  THEN list_transform(generate_series(1, len(toks) - {_CONTAM_N - 1}),
+                                      i -> array_to_string(toks[i:i+{_CONTAM_N - 1}], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS sh
+           FROM t),
+    sh AS (SELECT DISTINCT doc_id, split, sh FROM sh0),
+    tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+    te AS (SELECT doc_id, sh FROM sh WHERE split = 'test'),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM te GROUP BY doc_id),
+    hit AS (SELECT te.doc_id, COUNT(*) AS n_hit FROM te JOIN tr USING (sh)
+            GROUP BY te.doc_id)
+    SELECT tot.doc_id, tot.n_shingles, COALESCE(hit.n_hit, 0) AS n_hit,
+           ROUND(COALESCE(hit.n_hit, 0) * 1.0 / tot.n_shingles, 4) AS overlap,
+           (COALESCE(hit.n_hit, 0) * 1.0 / tot.n_shingles) >= 0.5 AS contaminated
+    FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
+    ORDER BY tot.doc_id
+"""
+
+
+@q(
+    "benchmark_contamination",
+    None,  # pytest-oracled via _CONTAMINATION_ORACLE_SQL (see note above)
+    "train->test contamination screen — the eval-integrity step a training "
+    "pipeline runs before trusting a benchmark number (the n-gram overlap "
+    "method of the GPT-3/PaLM appendices): for every test-split doc, the "
+    "fraction of its distinct 5-gram shingles that appear anywhere in the "
+    "train split; overlap >= 0.5 flags the doc. Split is the deterministic "
+    "md5 bucket (doc_train_split), so the screen is reproducible across "
+    "engines. Scale shape: the shingle join is an inverted-index semi-join "
+    "bucketed on the shingle string (the ngram_jaccard construction), "
+    "train-side distinct is one shuffle; at 100 TB hash shingles to int64 "
+    "(xxhash64) to cut shuffle width — kept as raw strings here for "
+    "cross-engine oracle parity.",
+)
+def benchmark_contamination(spark, sf_dir, n: int = _CONTAM_N):
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "valid").otherwise("test")
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            split.alias("split"),
+            F.explode(
+                F.when(
+                    F.col("n_tokens") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                    ),
+                ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    train_sh = sh.filter(F.col("split") == "train").select("sh").distinct()
+    test_sh = sh.filter(F.col("split") == "test").select("doc_id", "sh")
+    tot = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (
+        test_sh.join(train_sh, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_hit.alias("n_hit"),
+            F.round(n_hit / F.col("n_shingles"), 4).alias("overlap"),
+            (n_hit / F.col("n_shingles") >= 0.5).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
