@@ -89,12 +89,12 @@ def test_etld1_public_suffix_python(host, expected):
 
 
 # The checkPublicSuffix cases from publicsuffix.org's official test file
-# (test_psl.txt, public domain), minus two blocks: the IDN/punycode rows
-# (canonicalize operates on already-encoded hosts; IDN normalization is out
-# of scope) and the leading-dot rows (rejected upstream by the F1 validity
-# filter before etld1 is ever computed). None (= no registrable domain)
-# maps to the engine's '' contract. Mixed-case rows are lowercased first —
-# canonicalize lowercases the host before the PSL runs.
+# (test_psl.txt, public domain) — unabridged since round 4 (IDN/punycode
+# block included; the generated tables carry every unicode rule in both
+# forms) except the leading-dot rows, which are rejected upstream by the F1
+# validity filter before etld1 is ever computed. None (= no registrable
+# domain) maps to the engine's '' contract. Mixed-case rows are lowercased
+# first — canonicalize lowercases the host before the PSL runs.
 PSL_OFFICIAL_CORPUS = [
     # Mixed case.
     ("COM", None),
@@ -245,3 +245,28 @@ def test_etld1_full_list_plan_compile_bounded(spark):
 def test_image_id_extraction():
     assert U.image_id_from_path("/img/img_000000000042") == "img_000000000042"
     assert U.image_id_from_path("/nope") is None
+
+
+def test_psl_data_matches_source_list():
+    """The checked-in generated tables must equal a fresh parse of the
+    source list — catches silent corruption in the generator's emission
+    path (round-4 near-miss: textwrap's break_on_hyphens split rules like
+    ap-northeast-1.elasticbeanstalk.com into garbage entries that no
+    corpus row happened to exercise)."""
+    import os
+    import sys
+
+    dat = "/usr/share/publicsuffix/public_suffix_list.dat"
+    if not os.path.exists(dat):
+        import pytest
+
+        pytest.skip("no system public_suffix_list.dat")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_psl_data import parse
+
+    from visiblev8_crawler_spark.functions import psl_data as d
+
+    exact, wild, exc, _ = parse(dat)
+    assert {k: set(v) for k, v in d.EXACT.items()} == {k: set(v) for k, v in exact.items()}
+    assert {k: set(v) for k, v in d.WILD.items()} == {k: set(v) for k, v in wild.items()}
+    assert {k: set(v) for k, v in d.EXC.items()} == {k: set(v) for k, v in exc.items()}

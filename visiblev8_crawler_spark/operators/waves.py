@@ -163,12 +163,17 @@ def join_politeness_dims(
     which (being full-outer) cannot broadcast and would drag a SortMergeJoin
     + two exchanges into every wave.
 
-    ``state_broadcast=False`` drops the broadcast hint on the state side —
-    the cluster path, where the politeness state is a catalog table whose
-    host universe can outgrow broadcast range (scheduler._TableHostState);
-    the join then shuffles on host, which an Iceberg layout bucketed by
-    host turns into a storage-partitioned join."""
-    out = df.join(F.broadcast(robots_dim(robots)), "host", "left")
+    ``state_broadcast=False`` drops the broadcast hint on BOTH per-host
+    dimensions (state and robots) — the cluster path, where the politeness
+    state is a catalog table whose host universe can outgrow broadcast
+    range (scheduler._TableHostState), and the robots dimension scales
+    with the same host universe; forcing either would be a forced
+    broadcast of an unbounded dimension. The joins then shuffle on host
+    (AQE still broadcasts genuinely-small sides at runtime), which an
+    Iceberg layout bucketed by host turns into storage-partitioned
+    joins."""
+    dims = robots_dim(robots)
+    out = df.join(F.broadcast(dims) if state_broadcast else dims, "host", "left")
     if host_state is None:
         for name, t in STATE_COLS:
             out = out.withColumn(name, F.lit(None).cast(t))
