@@ -371,7 +371,10 @@ def minhash_signatures(spark, sf_dir):
     "MinHash-LSH: band -> bucket self-join -> candidate pairs (shingle->minhash->band->bucket-join); bucket join keys are (band, sig) so hot buckets, not hot docs, bound the skew",
 )
 def minhash_lsh_pairs(spark, sf_dir):
-    sig = QUERIES["minhash_signatures"].spark(spark, sf_dir)
+    # sig is referenced by 4 band projections x 2 self-join sides = 8 plan
+    # references; uncached, each re-runs the shingle explode + groupBy.
+    # Same persist rationale as ngram_jaccard_pairs above.
+    sig = QUERIES["minhash_signatures"].spark(spark, sf_dir).persist()
     bands = None
     for i in range(4):
         piece = sig.select(
@@ -413,9 +416,17 @@ def minhash_lsh_pairs(spark, sf_dir):
     "n-gram Jaccard near-dup: inverted-index self-join with a hot-shingle cap (df<=50) so a stopword-shingle can't quadratically blow up the join — the skew guard that matters at 100 TB",
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    shd = _shingles(spark, sf_dir)
+    # The inverted index (shr) feeds THREE consumers (cardinalities + both
+    # sides of the self-join) and its own input (shd) two — without a cache
+    # the plan re-tokenizes/re-explodes documents per reference (measured:
+    # 16 parquet scans, 0 ReusedExchange, and ~25% of the query's wall).
+    # persist(), not localCheckpoint: persist keeps outputPartitioning so
+    # downstream joins can reuse the exchange. Blocks are released by
+    # Spark's ContextCleaner when the returned plan is GC'd; at 100 TB the
+    # index is materialized to a table instead (the same shape Iceberg-ly).
+    shd = _shingles(spark, sf_dir).persist()
     rare = shd.groupBy("sh").count().filter(F.col("count") <= 50).select("sh")
-    shr = shd.join(rare, "sh")
+    shr = shd.join(rare, "sh").persist()
     card = shr.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = shr.alias("a"), shr.alias("b")
     inter = (
