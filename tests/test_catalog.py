@@ -216,3 +216,75 @@ def test_compact_serializes_with_ingest_writer(spark, tmp_path_factory):
     th.join()
     assert not errs
     assert _rows(cat) == want | {("ing", i) for i in range(4)}, "compact dropped an ingest append"
+
+
+def test_time_travel_read_at(spark, tmp_path_factory):
+    """Every commit keeps its manifest as a snapshot: read_at(seq) returns
+    the table exactly as that commit published it, even after later
+    appends AND after a compaction rewrote the current path list."""
+    root = str(tmp_path_factory.mktemp("cat_tt"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    cat.commit("w0", appends={"t": spark.createDataFrame([("a", 1)], T)})
+    s1 = cat.commit_seq()
+    cat.commit("w1", appends={"t": spark.createDataFrame([("b", 2)], T)})
+    s2 = cat.commit_seq()
+    assert cat.compact("t", min_file_sets=2)
+
+    assert cat.snapshots() == [s1, s2, cat.commit_seq()]
+    assert {(r["k"], r["v"]) for r in cat.read_at("t", s1).collect()} == {("a", 1)}
+    assert {(r["k"], r["v"]) for r in cat.read_at("t", s2).collect()} == {("a", 1), ("b", 2)}
+    assert _rows(cat) == {("a", 1), ("b", 2)}
+
+
+def test_expire_snapshots_deletes_only_stranded_sets(spark, tmp_path_factory):
+    """expire_snapshots removes data paths referenced ONLY by expired
+    snapshots (the sets a compaction superseded) — never paths the current
+    manifest or kept snapshots still reference, and never an in-flight
+    unpublished write (it appears in no snapshot)."""
+    import pytest
+
+    root = str(tmp_path_factory.mktemp("cat_exp"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    cat.commit("w0", appends={"t": spark.createDataFrame([("a", 1)], T)})
+    cat.commit("w1", appends={"t": spark.createDataFrame([("b", 2)], T)})
+    old_paths = list(json.load(open(os.path.join(root, "_manifest.json")))["tables"]["t"])
+    assert cat.compact("t", min_file_sets=2)
+    # an in-flight wave write, not yet committed
+    inflight = cat.write_unpublished("t", spark.createDataFrame([("c", 3)], T), "w9")
+
+    res = cat.expire_snapshots(keep_last=1)
+    assert res["deleted_snapshots"] >= 2
+    assert res["deleted_paths"] == 2, res
+    for p in old_paths:
+        assert not os.path.exists(p), f"kept-by-nothing path survived: {p}"
+    assert os.path.isdir(inflight), "expiry deleted an in-flight unpublished set"
+    assert _rows(cat) == {("a", 1), ("b", 2)}  # current read intact
+    with pytest.raises(KeyError, match="expired"):
+        cat.read_at("t", 1)
+    # the in-flight set still commits fine afterwards
+    cat.commit("w9", prewritten={"t": inflight})
+    assert _rows(cat) == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_campaign_disk_stays_bounded_with_expiry(spark, world, tmp_path_factory):
+    """End-to-end: a campaign with frequent compaction + expiry keeps the
+    fetches data directory bounded instead of stranding one superseded
+    generation per rewrite."""
+    from visiblev8_crawler_spark.streaming import scheduler
+    from visiblev8_crawler_spark.streaming.scheduler import CrawlConfig
+
+    root = str(tmp_path_factory.mktemp("cat_exp_e2e"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images,
+        CrawlConfig(batch_size=150, compact_every=2, expire_keep_snapshots=2),
+    )
+    assert scheduler.pending_df(cat).count() == 0
+    fetch_sets = os.listdir(os.path.join(root, "data", "fetches"))
+    # without expiry this grows ~linearly in waves (one stranded set per
+    # compaction cycle); with it only the live set + at most the last
+    # couple of uncompacted waves remain
+    assert len(fetch_sets) <= 4, sorted(fetch_sets)
+    assert len(cat.snapshots()) <= 4

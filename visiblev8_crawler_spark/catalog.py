@@ -122,6 +122,83 @@ class ParquetCatalog:
             return self.spark.createDataFrame([], self.schemas[name])
         return self.spark.read.schema(self.schemas[name]).parquet(*paths)
 
+    # -- snapshot history (Iceberg time travel / expire analog) ------------
+    def _snapdir(self) -> str:
+        return os.path.join(self.root, "_snapshots")
+
+    def snapshots(self) -> list[int]:
+        """Committed snapshot seqs, oldest first (empty for pre-history
+        catalogs — snapshots only accumulate from commits made by this
+        version onward)."""
+        d = self._snapdir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for fn in os.listdir(d):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(int(fn[1:-5]))
+        return sorted(out)
+
+    def _load_snapshot(self, seq: int) -> dict:
+        p = os.path.join(self._snapdir(), f"v{seq}.json")
+        if not os.path.exists(p):
+            raise KeyError(f"no snapshot v{seq} (expired or never committed)")
+        with open(p) as f:
+            return json.load(f)
+
+    def read_at(self, name: str, seq: int) -> DataFrame:
+        """Time travel: the table exactly as snapshot ``seq`` published it.
+        Valid until expire_snapshots() drops the snapshot — data files are
+        never deleted by commits or compaction, only by expiry, so an old
+        snapshot's paths remain readable (e.g. diff the url_seen set
+        between two waves, or audit what a compaction folded)."""
+        paths = self._load_snapshot(seq)["tables"].get(name, [])
+        if not paths:
+            return self.spark.createDataFrame([], self.schemas[name])
+        return self.spark.read.schema(self.schemas[name]).parquet(*paths)
+
+    def expire_snapshots(self, keep_last: int = 64) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and DELETE every
+        data path referenced only by dropped snapshots (Iceberg
+        expire_snapshots + orphan-file cleanup). Without this, a 10^10
+        campaign's compactions strand one superseded file-set generation
+        per rewrite on disk forever.
+
+        Safety: runs under the commit flock; a path is deleted only if it
+        appears in some EXPIRED snapshot and in NO kept snapshot and not in
+        the current manifest — an in-flight write_unpublished path appears
+        in no snapshot at all, so concurrent wave writes are never touched.
+        """
+        import shutil
+
+        with open(os.path.join(self.root, "_commit.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            snaps = self.snapshots()
+            expired = snaps[:-keep_last] if keep_last > 0 else snaps
+            kept = snaps[len(expired):]
+            if not expired:
+                return {"deleted_paths": 0, "deleted_snapshots": 0}
+
+            def _paths(manifest: dict) -> set[str]:
+                return {p for ps in manifest["tables"].values() for p in ps}
+
+            keep_paths = _paths(self._load_manifest())
+            for s in kept:
+                keep_paths |= _paths(self._load_snapshot(s))
+            drop_paths: set[str] = set()
+            for s in expired:
+                drop_paths |= _paths(self._load_snapshot(s))
+            drop_paths -= keep_paths
+            data_root = os.path.abspath(os.path.join(self.root, "data"))
+            for p in drop_paths:
+                # refuse to follow anything outside this catalog's data dir
+                ap = os.path.abspath(p)
+                if os.path.commonpath([ap, data_root]) == data_root:
+                    shutil.rmtree(ap, ignore_errors=True)
+            for s in expired:
+                os.remove(os.path.join(self._snapdir(), f"v{s}.json"))
+            return {"deleted_paths": len(drop_paths), "deleted_snapshots": len(expired)}
+
     # -- commits -----------------------------------------------------------
     def _write(self, name: str, df: DataFrame, tag: str) -> str:
         path = os.path.join(self.root, "data", name, tag)
@@ -265,4 +342,16 @@ class ParquetCatalog:
             tmp = self._manifest_path() + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(m, f, indent=1)
+            # snapshot history (Iceberg metadata-file analog): every commit
+            # keeps its manifest under _snapshots/v{seq}.json, enabling
+            # read_at() time travel and expire_snapshots() cleanup. Written
+            # BEFORE the swap: a kill in between leaves a snapshot file for
+            # a manifest that never published — harmless (it references only
+            # files that exist, and the re-run overwrites it).
+            snapdir = os.path.join(self.root, "_snapshots")
+            os.makedirs(snapdir, exist_ok=True)
+            snap_tmp = os.path.join(snapdir, f"v{m['commit_seq']}.json.tmp")
+            with open(snap_tmp, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(snap_tmp, os.path.join(snapdir, f"v{m['commit_seq']}.json"))
             os.replace(tmp, self._manifest_path())  # the atomic commit point

@@ -759,6 +759,9 @@ def benchmark_contamination(spark, sf_dir, n: int = _CONTAM_N):
             ).alias("sh"),
         )
         .distinct()
+        # 4 plan references (train side, test side x3 consumers) — same
+        # persist rationale as ngram_jaccard_pairs
+        .persist()
     )
     train_sh = sh.filter(F.col("split") == "train").select("sh").distinct()
     test_sh = sh.filter(F.col("split") == "test").select("doc_id", "sh")

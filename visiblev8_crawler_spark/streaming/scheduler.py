@@ -448,6 +448,12 @@ class CrawlConfig:
     # and state (equivalence-tested).
     host_state_mode: str = "auto"
     host_state_broadcast_max: int = 1_000_000
+    # snapshot retention: every commit keeps its manifest for read_at()
+    # time travel; the compaction pass expires all but the newest N and
+    # deletes data files referenced only by expired snapshots (Iceberg
+    # expire_snapshots analog) — without it every compaction strands the
+    # superseded file sets on disk forever. None disables expiry.
+    expire_keep_snapshots: int | None = 256
 
 
 def open_catalog(spark: SparkSession, root: str) -> ParquetCatalog:
@@ -752,6 +758,8 @@ def _wave_loop(
         if cfg.compact_every and (wave_id + 1) % cfg.compact_every == 0:
             for table in ("fetches", "metrics", "frontier_prepared", "rejected"):
                 cat.compact(table, min_file_sets=cfg.compact_every)
+            if cfg.expire_keep_snapshots:
+                cat.expire_snapshots(keep_last=cfg.expire_keep_snapshots)
 
         carry_s = time.perf_counter() - t_commit
         wave_id += 1
