@@ -288,3 +288,24 @@ def test_campaign_disk_stays_bounded_with_expiry(spark, world, tmp_path_factory)
     # couple of uncompacted waves remain
     assert len(fetch_sets) <= 4, sorted(fetch_sets)
     assert len(cat.snapshots()) <= 4
+
+
+def test_read_since_incremental_scan(spark, tmp_path_factory):
+    """read_since(seq) reads exactly the file sets committed after the
+    cursor snapshot — the poll shape for downstream consumers (C10
+    incremental ingest analog): three commits, cursor after the first,
+    delta contains only the later two; a fresh cursor yields empty."""
+    root = str(tmp_path_factory.mktemp("cat_inc"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    cat.commit("w0", appends={"t": spark.createDataFrame([("a", 1)], T)})
+    cursor = cat.commit_seq()
+    cat.commit("w1", appends={"t": spark.createDataFrame([("b", 2)], T)})
+    cat.commit("w2", appends={"t": spark.createDataFrame([("c", 3)], T)})
+
+    delta = {(r["k"], r["v"]) for r in cat.read_since("t", cursor).collect()}
+    assert delta == {("b", 2), ("c", 3)}
+    assert cat.read_since("t", cat.commit_seq()).count() == 0
+    # seq=0 (pre-history cursor) -> everything
+    assert {(r["k"], r["v"]) for r in cat.read_since("t", 0).collect()} == {
+        ("a", 1), ("b", 2), ("c", 3),
+    }

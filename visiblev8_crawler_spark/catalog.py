@@ -157,6 +157,24 @@ class ParquetCatalog:
             return self.spark.createDataFrame([], self.schemas[name])
         return self.spark.read.schema(self.schemas[name]).parquet(*paths)
 
+    def read_since(self, name: str, seq: int) -> DataFrame:
+        """Incremental scan (Iceberg incremental-append-scan analog): only
+        the file sets committed AFTER snapshot ``seq`` — the efficient
+        poll shape for downstream consumers (the reference's
+        resend_script_ids.py:59-99 poll loop re-reads everything each
+        cycle; a 10^10-row campaign's poller must read only the delta).
+        Correct for append-only history; if a replace (compaction)
+        happened after ``seq``, the path diff no longer means "new rows
+        only", so callers poll + compact epochs should re-baseline — the
+        returned frame is still exactly "paths published since seq".
+        Pair with ``commit_seq()`` as the cursor."""
+        since = set(self._load_snapshot(seq)["tables"].get(name, [])) if seq else set()
+        now = self._load_manifest()["tables"].get(name, [])
+        new = [p for p in now if p not in since]
+        if not new:
+            return self.spark.createDataFrame([], self.schemas[name])
+        return self.spark.read.schema(self.schemas[name]).parquet(*new)
+
     def expire_snapshots(self, keep_last: int = 64) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and DELETE every
         data path referenced only by dropped snapshots (Iceberg
