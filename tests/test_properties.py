@@ -98,6 +98,21 @@ def test_etld1_spark_python_parity_random(spark):
         suf = parts[(hv >> 40) % len(parts)]
         host = ".".join(labels + ([suf] if suf else []))
         corpus.append(host)
+    # round 4: also draw suffixes from the FULL generated rule tables so
+    # the fuzz reaches 4/5-label exact rules, deep wildcard bases and the
+    # punycode twins — classes the hand-picked list above never touches
+    from visiblev8_crawler_spark.functions.psl_data import EXACT, EXC, WILD
+
+    pools = [sorted(v) for v in EXACT.values()]
+    pools += [sorted(v) for v in WILD.values()]
+    pools += [sorted(v) for v in EXC.values()]
+    for i in range(600):
+        hv = int(hashlib.md5(f"pslrule:{i}".encode()).hexdigest(), 16)
+        pool = pools[hv % len(pools)]
+        rule = pool[(hv >> 16) % len(pool)]
+        n = (hv >> 48) % 3
+        labels = [f"x{(hv >> (8 * (j + 2))) % 997}" for j in range(n)]
+        corpus.append(".".join(labels + [rule]))
     corpus = [h for h in corpus if h]
     df = spark.createDataFrame([(h,) for h in corpus], "host string")
     got = {
