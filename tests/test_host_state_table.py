@@ -70,7 +70,7 @@ def test_final_state_bit_identical(spark, world, dict_run, table_run):
     cat_t, cfg, _ = table_run
     robots = spark.read.parquet(world["paths"]["robots"])
 
-    table_state = _state_rows(cat_t.read("host_state"))
+    table_state = _state_rows(scheduler.host_state_view(cat_t))
     assert table_state, "table mode committed no host_state rows"
 
     for cat in (cat_d, cat_t):
@@ -93,13 +93,13 @@ def test_table_mode_kill_resume(spark, world, tmp_path_factory, table_run):
         spark, root, frontier, robots, images, cfg, stop_after_waves=2
     )
     assert cat.watermark() == 1
-    # state committed with the wave: present and at the same watermark
-    assert cat.file_sets("host_state") == 1
+    # one delta set per committed wave, in the same manifest swaps
+    assert cat.file_sets("host_state") == 2
     cat = scheduler.run_campaign(spark, root, frontier, robots, images, cfg)
 
     assert _fetch_rows(cat) == _fetch_rows(table_run[0])
-    assert _state_rows(cat.read("host_state")) == _state_rows(
-        table_run[0].read("host_state")
+    assert _state_rows(scheduler.host_state_view(cat)) == _state_rows(
+        scheduler.host_state_view(table_run[0])
     )
 
 
@@ -110,7 +110,17 @@ def test_auto_threshold_picks_table(spark, world, tmp_path_factory):
     frontier = spark.read.parquet(world["paths"]["frontier"])
     robots = spark.read.parquet(world["paths"]["robots"])
     images = spark.read.parquet(world["paths"]["images"])
-    cfg = CrawlConfig(host_state_mode="auto", host_state_broadcast_max=5, **CFG_KW)
+    cfg = CrawlConfig(
+        host_state_mode="auto", host_state_broadcast_max=5,
+        host_state_fold_every=3, **CFG_KW
+    )
     cat = scheduler.run_campaign(spark, root, frontier, robots, images, cfg)
-    assert cat.file_sets("host_state") == 1, "auto mode did not materialize state"
+    assert cat.file_sets("host_state") >= 1, "auto mode did not materialize state"
+    # the merge-on-read fold bounds delta accumulation at the fold cadence
+    assert cat.file_sets("host_state") <= 3 + 1, cat.file_sets("host_state")
     assert scheduler.pending_df(cat).count() == 0
+    # and the folded table has exactly one row per host
+    view = scheduler.host_state_view(cat)
+    raw = cat.read("host_state")
+    hosts = view.count()
+    assert raw.select("host").distinct().count() == hosts

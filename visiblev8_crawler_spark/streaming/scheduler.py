@@ -307,34 +307,57 @@ class _HostState:
             ]
 
 
+def host_state_view(cat: ParquetCatalog) -> DataFrame:
+    """Latest-per-host politeness state over the append-delta ``host_state``
+    table (merge-on-read): each wave appends rows only for the hosts it
+    touched, stamped with that wave id in ``last_wave``, so the current
+    state is max_by(last_wave) per host. Ties are impossible — a host gains
+    at most one row per wave, and a killed wave's unpublished set is
+    overwritten, never double-published."""
+    cols = [f.name for f in schemas.HOST_STATE.fields if f.name != "host"]
+    return (
+        cat.read("host_state")
+        .groupBy("host")
+        .agg(F.max_by(F.struct(*cols), F.col("last_wave")).alias("s"))
+        .select("host", "s.*")
+    )
+
+
 class _TableHostState:
     """Cluster-path politeness state: the ``host_state`` catalog table,
-    rewritten in the SAME atomic commit as the wave it reflects (Iceberg
-    MERGE-per-wave analog). This is the overflow path the _HostState
-    docstring promises: past broadcast range (cfg.host_state_broadcast_max
-    hosts) the per-host state neither lives on the driver nor rides a
-    broadcast — selection joins it shuffle-side (state_broadcast=False;
-    bucketed-by-host Iceberg layout makes that storage-partitioned), and
-    the per-wave update is a distributed merge built from the SAME
-    politeness_exprs arithmetic the selection and the dict path use, so
-    all paths stay in IEEE-double lockstep (the dict-vs-table equivalence
-    test asserts bit-identical selection AND final state).
+    updated by APPENDING a per-wave delta (touched hosts only) in the SAME
+    atomic commit as the wave it reflects — the Iceberg
+    MERGE-with-merge-on-read analog. This is the overflow path the
+    _HostState docstring promises: past broadcast range
+    (cfg.host_state_broadcast_max hosts) the per-host state neither lives
+    on the driver nor rides a broadcast — selection joins it shuffle-side
+    (state_broadcast=False; bucketed-by-host Iceberg layout makes that
+    storage-partitioned) — and the per-wave WRITE is O(hosts touched this
+    wave), never O(all hosts) (the round-4 first cut rewrote the whole
+    table per wave; at 10^8 hosts that rewrite would have been the new
+    per-wave bottleneck). Reads resolve latest-per-host via
+    host_state_view; the maintenance pass periodically folds the deltas
+    back to one row per host (fold_committed) so read cost stays bounded.
+    The update arithmetic is the SAME politeness_exprs the selection and
+    the dict path use, so all paths stay in IEEE-double lockstep (the
+    dict-vs-table equivalence test asserts bit-identical selection AND
+    final state).
 
     Update recurrence per touched host (identical to _HostState.update):
         eff        = min(credit + rate*(wave - last_wave), cap)   # exprs
         credit'    = eff - n_sel
         last_wave' = wave
         ok'        = ok + n_ok;  failed' = failed + (n_sel - n_ok)
-    Untouched hosts carry over via an anti-join (their rows are immutable
-    this wave). Hosts first seen this wave enter through the exprs' null
-    defaults (credit 0, last_wave -1) — exactly _HostState's .get default.
+    Untouched hosts simply keep their previous row live (no rewrite).
+    Hosts first seen this wave enter through the exprs' null defaults
+    (credit 0, last_wave -1) — exactly _HostState's .get default.
 
-    Crash safety: the new state frame is written inside the wave's atomic
-    commit (multi-table manifest swap), so a kill anywhere leaves state
-    and ledger at the same watermark; resume reads the committed table, or
+    Crash safety: the delta is written inside the wave's atomic commit
+    (multi-table manifest swap), so a kill anywhere leaves state and
+    ledger at the same watermark; resume reads the committed table, or
     falls back to the host_state_df ledger fold when the catalog has none
-    (e.g. a campaign started in dict mode) — the fold and the table are
-    equal by construction.
+    (e.g. a campaign started in dict mode) — the fold and the table view
+    are equal by construction.
 
     Unlike the dict path, as_df applies NO relevance filter: the filter
     only shrinks a broadcast, and here the join shuffles either way; the
@@ -350,22 +373,26 @@ class _TableHostState:
 
     def seed_from_fold(self, df: DataFrame) -> None:
         """Adopt a ledger fold (host_state_df) as the pre-first-commit
-        state — used when the catalog has no host_state table yet."""
+        state — used when the catalog has no host_state table yet. The
+        first wave's delta() carries it into the table as the base
+        generation."""
         self._bootstrap = df.localCheckpoint(eager=True)
 
     def _current(self) -> DataFrame:
         if self._bootstrap is not None:
             return self._bootstrap
-        return self.cat.read("host_state")
+        return host_state_view(self.cat)
 
     def as_df(self, spark: SparkSession) -> DataFrame:
         return self._current()
 
-    def merged(self, spark: SparkSession, wave_id: int, fetches_path: str) -> DataFrame:
-        """The post-wave state frame (lazy) — handed to the wave's commit as
-        ``replaces={"host_state": ...}``. Reads only immutable inputs: the
-        just-written (still unpublished) wave parquet and the previous
-        committed state."""
+    def delta(self, spark: SparkSession, wave_id: int, fetches_path: str) -> DataFrame:
+        """This wave's state delta (lazy) — handed to the wave's commit as
+        ``appends={"host_state": ...}``. Rows for touched hosts only (plus,
+        on the very first table-mode commit, the bootstrap base — its rows
+        carry older last_wave stamps, so latest-wins resolves overlaps).
+        Reads only immutable inputs: the just-written (still unpublished)
+        wave parquet and the previous committed state."""
         from ..operators.waves import join_politeness_dims, politeness_exprs
 
         cfg = self.cfg
@@ -394,15 +421,40 @@ class _TableHostState:
                 + (F.col("n_sel") - F.col("n_ok"))
             ).alias("failed"),
         )
-        untouched = old.join(stats.select("host"), "host", "left_anti")
-        return schemas.conform(
-            untouched.unionByName(new_touched), schemas.HOST_STATE
-        )
+        if self._bootstrap is not None:
+            base = self._bootstrap.join(stats.select("host"), "host", "left_anti")
+            new_touched = base.unionByName(new_touched)
+        return schemas.conform(new_touched, schemas.HOST_STATE)
 
     def on_committed(self) -> None:
-        """The wave commit published the merged table; drop any bootstrap so
-        reads go to the catalog from now on."""
+        """The wave commit published the delta; drop any bootstrap so reads
+        go to the catalog from now on."""
         self._bootstrap = None
+
+    def fold_committed(self, min_file_sets: int = 2) -> bool:
+        """Fold accumulated deltas back to one row per host (the Iceberg
+        compaction of a merge-on-read table): replaces the table with
+        host_state_view's resolution. Same locking discipline as
+        catalog.compact — snapshot and commit under the writer lock, with
+        the expect_replaced guard as the structural backstop."""
+        cat = self.cat
+        with cat.writer_lock():
+            expected = cat._load_manifest()["tables"].get("host_state", [])
+            if len(expected) < min_file_sets:
+                return False
+            snap = cat.spark.read.schema(schemas.HOST_STATE).parquet(*expected)
+            cols = [f.name for f in schemas.HOST_STATE.fields if f.name != "host"]
+            folded = (
+                snap.groupBy("host")
+                .agg(F.max_by(F.struct(*cols), F.col("last_wave")).alias("s"))
+                .select("host", "s.*")
+            )
+            cat.commit(
+                None,
+                replaces={"host_state": schemas.conform(folded, schemas.HOST_STATE)},
+                expect_replaced={"host_state": expected},
+            )
+        return True
 
 
 @dataclass
@@ -448,6 +500,12 @@ class CrawlConfig:
     # and state (equivalence-tested).
     host_state_mode: str = "auto"
     host_state_broadcast_max: int = 1_000_000
+    # table mode: fold the per-wave state deltas to one row per host every
+    # N waves. The merge-on-read view scans one delta set per wave since
+    # the last fold, so this bounds the view's file fan-in (and the
+    # latest-per-host dedup) at N sets — a tighter cadence than table
+    # compaction because EVERY selection pays the view cost.
+    host_state_fold_every: int = 16
     # snapshot retention: every commit keeps its manifest for read_at()
     # time travel; the compaction pass expires all but the newest N and
     # deletes data files referenced only by expired snapshots (Iceberg
@@ -542,7 +600,12 @@ def run_campaign(
     # above it (_TableHostState).
     mode = cfg.host_state_mode
     if mode == "auto":
-        n_hosts = pool_df(cat).select("host").distinct().count()
+        # approx census: the threshold decision tolerates sketch error, and
+        # an exact distinct over a 10^10-row pool would shuffle every host
+        # string just to pick a storage mode
+        n_hosts = pool_df(cat).agg(
+            F.approx_count_distinct("host").alias("n")
+        ).collect()[0]["n"]
         mode = "table" if n_hosts > cfg.host_state_broadcast_max else "dict"
     if mode == "table":
         hstate: _HostState | _TableHostState = _TableHostState(cat, robots, cfg)
@@ -656,22 +719,21 @@ def _wave_loop(
             schemas.METRICS,
         )
 
-        # the atomic wave commit. Dict mode: appends only — nothing is
-        # rewritten. Table mode: the merged politeness state rides the SAME
-        # manifest swap (multi-table commit), so ledger and state can never
-        # disagree at a resume point; the merge plan reads only immutable
-        # inputs (the unpublished wave parquet + the previous committed
-        # state), so writing it inside the commit critical section is safe.
+        # the atomic wave commit: appends only — nothing is rewritten. In
+        # table mode the politeness-state DELTA (touched hosts only) rides
+        # the SAME manifest swap (multi-table commit), so ledger and state
+        # can never disagree at a resume point; the delta plan reads only
+        # immutable inputs (the unpublished wave parquet + the previous
+        # committed state), so writing it inside the commit critical
+        # section is safe, and its cost is O(hosts touched this wave).
         t_commit = time.perf_counter()
         table_mode = isinstance(hstate, _TableHostState)
+        appends = {"metrics": metrics}
+        if table_mode:
+            appends["host_state"] = hstate.delta(spark, wave_id, fetches_path)
         cat.commit(
             f"wave={wave_id}",
-            appends={"metrics": metrics},
-            replaces=(
-                {"host_state": hstate.merged(spark, wave_id, fetches_path)}
-                if table_mode
-                else None
-            ),
+            appends=appends,
             prewritten={"fetches": fetches_path},
             watermark=wave_id,
         )
@@ -755,6 +817,14 @@ def _wave_loop(
         # rejected one per add_seeds ingest — a long campaign's status and
         # resume reads would otherwise degrade linearly in set count. The
         # min_file_sets guard makes untouched tables a no-op.
+        if (
+            table_mode
+            and cfg.host_state_fold_every
+            and (wave_id + 1) % cfg.host_state_fold_every == 0
+        ):
+            # merge-on-read fold: deltas -> one row per host, so the
+            # selection-side view's dedup + file fan-in stay bounded
+            hstate.fold_committed(min_file_sets=2)
         if cfg.compact_every and (wave_id + 1) % cfg.compact_every == 0:
             for table in ("fetches", "metrics", "frontier_prepared", "rejected"):
                 cat.compact(table, min_file_sets=cfg.compact_every)
