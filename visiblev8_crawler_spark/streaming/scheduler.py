@@ -70,9 +70,11 @@ TABLE_SCHEMAS = {
     "rejected": schemas.REJECTED,
     "metrics": schemas.METRICS,
     "bloom": schemas.BLOOM_STATE,
-    # cluster-path politeness state (_TableHostState): rewritten atomically
-    # WITH each wave's commit, so it can never be stale relative to the
-    # fetch ledger it summarizes. Absent in dict-mode campaigns.
+    # cluster-path politeness state (_TableHostState): per-wave deltas
+    # appended atomically WITH each wave's commit (latest-per-host resolved
+    # by host_state_view; periodically folded), so it can never be stale
+    # relative to the fetch ledger it summarizes. Absent in dict-mode
+    # campaigns.
     "host_state": schemas.HOST_STATE,
 }
 
