@@ -40,6 +40,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # showed the two rows past it fall out of the hard signal. The no-oracle
     # sketch queries (rows-only check regardless) go last so every
     # hash-checked query stays inside the window.
+    #
+    # ROTATION POLICY (round 5+): the window is saturated at exactly 50
+    # oracled queries, so every NEW deterministic operator is promoted into
+    # the driver-oracle set by demoting the longest-stable trivial oracle(s)
+    # to pytest replicas (their SQL stays in the plans module as a
+    # _*_ORACLE_SQL constant, run verbatim by tests/test_queries_oracle.py).
+    # Newest-in, count pinned at 50: every operator gets at least one round
+    # inside the hard signal. Round-5 rotation: capped_count and
+    # union_distinct_hosts out; embedding_lsh_multiprobe_topk and
+    # benchmark_contamination in.
     reg = _registry()
     ordered = sorted(reg, key=lambda name: reg[name].oracle is None)
     return {name: reg[name].spark for name in ordered}

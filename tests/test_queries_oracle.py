@@ -41,6 +41,44 @@ def _rows_to_set(cols, rows):
 
 ORACLED = sorted(entry_mod.oracle_sql().keys())
 
+# Queries demoted from the driver's saturated 50-slot oracle window
+# (rotation policy, __spark_entry__.py): their SQL oracles live on as
+# module constants and are replicated here verbatim, so external
+# verification never lapses — it just moves engines.
+DEMOTED_ORACLES = {
+    "capped_count": "_CAPPED_COUNT_ORACLE_SQL",
+    "union_distinct_hosts": "_UNION_DISTINCT_HOSTS_ORACLE_SQL",
+}
+
+
+@pytest.mark.parametrize("name", sorted(DEMOTED_ORACLES))
+def test_demoted_query_matches_pytest_oracle(spark, ddb, name):
+    from visiblev8_crawler_spark.plans import queries as qmod
+
+    sql = getattr(qmod, DEMOTED_ORACLES[name])
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = ddb.sql(sql)
+    duck_cols = [c.lower() for c in res.columns]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    assert _rows_to_set(spark_cols, spark_rows) == _rows_to_set(duck_cols, duck_rows)
+
+
+def test_driver_window_pinned_at_50():
+    """The rotation policy's invariant: exactly 50 oracled queries, all
+    inside the driver's hard-signal window, newest operators included."""
+    oracled = entry_mod.oracle_sql()
+    assert len(oracled) == 50, len(oracled)
+    ordered = list(entry_mod.queries())
+    assert set(ordered[:50]) == set(oracled), "oracled queries must lead the iteration order"
+    assert "embedding_lsh_multiprobe_topk" in oracled
+    assert "benchmark_contamination" in oracled
+    assert "capped_count" not in oracled
+    assert "union_distinct_hosts" not in oracled
+
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, ddb, name):

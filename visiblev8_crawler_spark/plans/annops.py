@@ -132,15 +132,21 @@ def embedding_lsh_topk(spark, sf_dir):
     )
 
 
+_MULTIPROBE_ORACLE_SQL = (
+    _COS_SQL.format(qid=_QUERY_VEC_ID)
+    + f" AND xor({_BUCKET_SQL.format(v='v.embedding')},"
+    f" (SELECT {_BUCKET_SQL.format(v='e')} FROM qv)) IN (0, 1, 2, 4)"
+    + " ORDER BY cosine DESC, v.vec_id ASC LIMIT 10"
+)
+
+
 @q(
     "embedding_lsh_multiprobe_topk",
-    # NO driver oracle ON PURPOSE: the driver's hard-signal window holds 50
-    # rows and the registry already carries exactly 50 oracle-gated queries
-    # (round-3 verdict #1); this query instead gets a full DuckDB oracle
-    # replica in pytest (tests/test_ann_gates.py, same engine the driver
-    # uses) plus a recall-floor gate — the SQL lives in
-    # _MULTIPROBE_ORACLE_SQL below so the two cannot drift.
-    None,
+    # Promoted to a driver oracle in round 5 (rotation policy, see
+    # __spark_entry__.py): capped_count's slot. The pytest replica
+    # (tests/test_ann_gates.py) and the recall-floor gate stay as
+    # belt-and-braces.
+    _MULTIPROBE_ORACLE_SQL,
     "ANN multiprobe LSH: probe the query's sign bucket plus every bucket at "
     "Hamming distance 1 (4 of 8 buckets for the 3-bit code) — the standard "
     "recall upgrade over single-probe LSH (Lv et al., multi-probe LSH) at 4x "
@@ -161,14 +167,6 @@ def embedding_lsh_multiprobe_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", "label", "cosine")
     )
-
-
-_MULTIPROBE_ORACLE_SQL = (
-    _COS_SQL.format(qid=_QUERY_VEC_ID)
-    + f" AND xor({_BUCKET_SQL.format(v='v.embedding')},"
-    f" (SELECT {_BUCKET_SQL.format(v='e')} FROM qv)) IN (0, 1, 2, 4)"
-    + " ORDER BY cosine DESC, v.vec_id ASC LIMIT 10"
-)
 
 
 _IVF_CENTROID_IDS = (1, 2, 3, 4)  # "pretrained" coarse quantizer rows

@@ -315,9 +315,18 @@ def case_bucket_classify(spark, sf_dir):
     )
 
 
+# Demoted from the driver-oracle window in round 5 (rotation policy, see
+# __spark_entry__.py): unchanged since round 1 and trivially replicable, its
+# slot now carries embedding_lsh_multiprobe_topk. The SQL stays here as the
+# pytest replica (tests/test_queries_oracle.py runs it verbatim).
+_CAPPED_COUNT_ORACLE_SQL = (
+    "SELECT COUNT(*) AS n FROM (SELECT * FROM lineitem LIMIT 1000) sub"
+)
+
+
 @q(
     "capped_count",
-    "SELECT COUNT(*) AS n FROM (SELECT * FROM lineitem LIMIT 1000) sub",
+    None,  # pytest-oracled via _CAPPED_COUNT_ORACLE_SQL (rotation, round 5)
     "A7: existence-capped count (resend_script_ids.py:168-184)",
 )
 def capped_count(spark, sf_dir):
@@ -544,13 +553,19 @@ def approx_distinct_sources(spark, sf_dir):
     )
 
 
-@q(
-    "union_distinct_hosts",
-    """
+# Demoted from the driver-oracle window in round 5 (rotation policy, see
+# __spark_entry__.py): its slot now carries benchmark_contamination. The SQL
+# stays here as the pytest replica (tests/test_queries_oracle.py).
+_UNION_DISTINCT_HOSTS_ORACLE_SQL = """
     SELECT source AS src, 'docs' AS via FROM documents WHERE n_chars > 400
     UNION
     SELECT source AS src, 'docs' AS via FROM documents WHERE lang = 'zh'
-    """,
+    """
+
+
+@q(
+    "union_distinct_hosts",
+    None,  # pytest-oracled via _UNION_DISTINCT_HOSTS_ORACLE_SQL (rotation, round 5)
     "§2.7: retried ∪ fresh per wave (url_sender.py:242-253) as UNION DISTINCT",
 )
 def union_distinct_hosts(spark, sf_dir):

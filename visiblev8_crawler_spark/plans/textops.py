@@ -691,11 +691,9 @@ def training_set_pipeline(spark, sf_dir):
 _CONTAM_N = 5  # n-gram width: long enough that a hit means shared phrasing,
 #               short enough to fire on the fixture corpus's short docs
 
-# DuckDB replica of benchmark_contamination — NOT wired as a driver oracle
-# (the driver's hard-signal window holds 50 rows and the registry already
-# carries exactly 50 oracle-gated queries, r3 verdict #1); pytest runs it
-# against the same engine the driver uses (tests/test_textops_gates.py).
-# Kept adjacent to the Spark plan so the two cannot drift.
+# DuckDB oracle of benchmark_contamination — promoted to a driver oracle in
+# round 5 (rotation policy, __spark_entry__.py): union_distinct_hosts's slot.
+# The pytest replica (tests/test_textops_gates.py) stays as belt-and-braces.
 _CONTAMINATION_ORACLE_SQL = f"""
     WITH t AS (SELECT doc_id,
            CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 8
@@ -725,7 +723,7 @@ _CONTAMINATION_ORACLE_SQL = f"""
 
 @q(
     "benchmark_contamination",
-    None,  # pytest-oracled via _CONTAMINATION_ORACLE_SQL (see note above)
+    _CONTAMINATION_ORACLE_SQL,
     "train->test contamination screen — the eval-integrity step a training "
     "pipeline runs before trusting a benchmark number (the n-gram overlap "
     "method of the GPT-3/PaLM appendices): for every test-split doc, the "
