@@ -309,3 +309,84 @@ def test_read_since_incremental_scan(spark, tmp_path_factory):
     assert {(r["k"], r["v"]) for r in cat.read_since("t", 0).collect()} == {
         ("a", 1), ("b", 2), ("c", 3),
     }
+
+
+def test_read_since_raises_across_compaction_epoch(spark, tmp_path_factory):
+    """An incremental cursor taken before a compaction must NOT silently
+    re-read the whole table (the rewritten set holds all rows): read_since
+    raises RebaselineRequired, and a fresh full-read + new cursor resumes
+    exactly-once polling — the resend-loop analog driven across a compaction
+    without double-processing."""
+    import pytest
+
+    from visiblev8_crawler_spark.catalog import RebaselineRequired
+
+    root = str(tmp_path_factory.mktemp("cat_epoch"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    cat.commit("w0", appends={"t": spark.createDataFrame([("a", 1)], T)})
+    cursor = cat.commit_seq()
+    cat.commit("w1", appends={"t": spark.createDataFrame([("b", 2)], T)})
+    assert cat.replace_epoch("t") == 0
+    assert cat.compact("t", min_file_sets=2)
+    assert cat.replace_epoch("t") == 1
+
+    with pytest.raises(RebaselineRequired, match="re-baseline|Re-baseline"):
+        cat.read_since("t", cursor)
+
+    # the documented recovery: full read once, poll from a fresh cursor
+    assert _rows(cat) == {("a", 1), ("b", 2)}
+    cursor = cat.commit_seq()
+    cat.commit("w2", appends={"t": spark.createDataFrame([("c", 3)], T)})
+    delta = {(r["k"], r["v"]) for r in cat.read_since("t", cursor).collect()}
+    assert delta == {("c", 3)}, "post-rebaseline polling must be delta-only again"
+
+
+def test_compact_retries_past_concurrent_append(spark, tmp_path_factory):
+    """A lock-free appender landing between compact()'s snapshot and its
+    manifest swap aborts the rewrite (expect_replaced); compact must
+    re-snapshot and retry instead of propagating, and the retried rewrite
+    must contain the racer's rows."""
+    root = str(tmp_path_factory.mktemp("cat_retry"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    cat.commit("w0", appends={"t": spark.createDataFrame([("a", 1)], T)})
+    cat.commit("w1", appends={"t": spark.createDataFrame([("b", 2)], T)})
+
+    orig = cat.commit
+    fired = []
+
+    def racing(tag, **kw):
+        # first replace attempt: inject a plain append (no writer_lock — the
+        # foreachBatch-ingest shape) before the commit-critical section runs
+        if kw.get("expect_replaced") and not fired:
+            fired.append(1)
+            orig("race", appends={"t": spark.createDataFrame([("c", 3)], T)})
+        return orig(tag, **kw)
+
+    cat.commit = racing
+    try:
+        assert cat.compact("t", min_file_sets=2)
+    finally:
+        cat.commit = orig
+    assert fired, "the race never fired; the test proved nothing"
+    assert _rows(cat) == {("a", 1), ("b", 2), ("c", 3)}
+    assert cat.file_sets("t") == 1, "retried compaction should leave one folded set"
+
+
+def test_expire_snapshots_age_floor(spark, tmp_path_factory):
+    """min_age_s is the reader-lease approximation: young snapshots (and
+    their data) survive expiry even past keep_last, so a reader that
+    re-baselines within the window can never have files deleted under a
+    lazy scan."""
+    root = str(tmp_path_factory.mktemp("cat_age"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    cat.commit("w0", appends={"t": spark.createDataFrame([("a", 1)], T)})
+    cat.commit("w1", appends={"t": spark.createDataFrame([("b", 2)], T)})
+    assert cat.compact("t", min_file_sets=2)
+
+    res = cat.expire_snapshots(keep_last=1, min_age_s=3600)
+    assert res == {"deleted_paths": 0, "deleted_snapshots": 0}
+    assert len(cat.snapshots()) == 3
+
+    res = cat.expire_snapshots(keep_last=1, min_age_s=0)
+    assert res["deleted_snapshots"] == 2
+    assert _rows(cat) == {("a", 1), ("b", 2)}

@@ -124,3 +124,36 @@ def test_auto_threshold_picks_table(spark, world, tmp_path_factory):
     raw = cat.read("host_state")
     hosts = view.count()
     assert raw.select("host").distinct().count() == hosts
+
+
+def test_auto_resume_keeps_pinned_mode(spark, world, tmp_path_factory, table_run):
+    """The chosen storage mode is pinned in the manifest at first
+    resolution: a campaign started in table mode and resumed under 'auto'
+    must STAY in table mode even though the census (tiny world, huge
+    broadcast threshold) would pick dict — approx_count_distinct error at
+    the threshold boundary must never flip modes mid-campaign."""
+    root = str(tmp_path_factory.mktemp("cat_hs_pin"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images,
+        CrawlConfig(host_state_mode="table", **CFG_KW), stop_after_waves=2,
+    )
+    assert cat.meta("host_state_mode") == "table"
+    sets_at_kill = cat.file_sets("host_state")
+    assert sets_at_kill == 2
+
+    # resume under auto: census would say dict (world hosts << threshold)
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images,
+        CrawlConfig(host_state_mode="auto", host_state_broadcast_max=10**9, **CFG_KW),
+    )
+    assert cat.meta("host_state_mode") == "table"
+    # table mode kept appending per-wave deltas after the resume
+    assert cat.file_sets("host_state") > sets_at_kill
+    # and the outcome is byte-equal to the uninterrupted table-mode run
+    assert _fetch_rows(cat) == _fetch_rows(table_run[0])
+    assert _state_rows(scheduler.host_state_view(cat)) == _state_rows(
+        scheduler.host_state_view(table_run[0])
+    )

@@ -38,6 +38,16 @@ class ConcurrentReplaceError(RuntimeError):
     catalog is untouched; re-snapshot and retry."""
 
 
+class RebaselineRequired(RuntimeError):
+    """An incremental ``read_since`` cursor straddles a replace (compaction)
+    epoch: the path diff since the cursor no longer means "new rows only" —
+    it contains a rewritten set holding ALL rows. The caller must
+    re-baseline: full ``read()`` once, then resume polling from a fresh
+    ``commit_seq()`` cursor. Raised instead of silently double-reading
+    (the at-least-once hazard of the reference's resend poll loop,
+    resend_script_ids.py:59-99, made loud)."""
+
+
 class ParquetCatalog:
     MANIFEST = "_manifest.json"
 
@@ -54,12 +64,26 @@ class ParquetCatalog:
     def _load_manifest(self) -> dict:
         p = self._manifest_path()
         if not os.path.exists(p):
-            return {"watermark": -1, "prepared": False, "commit_seq": 0, "meta": {}, "tables": {}}
+            return {
+                "watermark": -1,
+                "prepared": False,
+                "commit_seq": 0,
+                "meta": {},
+                "epochs": {},
+                "tables": {},
+            }
         with open(p) as f:
             m = json.load(f)
         m.setdefault("commit_seq", 0)
         m.setdefault("meta", {})
+        m.setdefault("epochs", {})
         return m
+
+    def replace_epoch(self, name: str) -> int:
+        """How many times this table has been REPLACED (compaction / fold).
+        Incremental consumers pair this with ``commit_seq()``: a cursor is
+        only valid within one epoch — ``read_since`` enforces it."""
+        return self._load_manifest()["epochs"].get(name, 0)
 
     def meta(self, key: str, default=None):
         """Small scalar state stored in the manifest itself (e.g. the bloom
@@ -95,24 +119,36 @@ class ParquetCatalog:
         # ingest against a live campaign appends to frontier_prepared/
         # rejected) would be silently dropped from the manifest. Two guards:
         # the writer lock serializes compaction with the only concurrent
-        # appender (add_seeds holds it for its whole transaction), and
-        # expect_replaced makes commit() re-check the published list inside
-        # the critical section and abort the rewrite if it moved — the
-        # structural invariant, independent of caller lock discipline.
-        # (Do NOT call compact() while already holding writer_lock: flock
-        # re-entry from a second fd self-blocks.)
+        # appender that does read-modify-write (add_seeds holds it for its
+        # whole transaction), and expect_replaced makes commit() re-check
+        # the published list inside the critical section and abort the
+        # rewrite if it moved — the structural invariant, independent of
+        # caller lock discipline. A lock-free plain appender (e.g. a
+        # foreachBatch ingest stream committing appends without writer_lock)
+        # CAN still land in the window, so the documented recovery —
+        # re-snapshot and retry — runs here, bounded: the writer lock makes
+        # repeated collisions unlikely, so livelock needs an adversarial
+        # appender. (Do NOT call compact() while already holding
+        # writer_lock: flock re-entry from a second fd self-blocks.)
         with self.writer_lock():
-            expected = self._load_manifest()["tables"].get(name, [])
-            if len(expected) < min_file_sets:
-                return False
-            snapshot = self.spark.read.schema(self.schemas[name]).parquet(*expected)
-            # tag=None: derived from the monotonic commit counter INSIDE the
-            # commit lock — never reuses a tag, so it can never overwrite the
-            # very path the lazy snapshot DataFrame is reading from, even
-            # with a concurrent committer bumping the counter
-            self.commit(
-                None, replaces={name: snapshot}, expect_replaced={name: expected}
-            )
+            for attempt in range(4):
+                expected = self._load_manifest()["tables"].get(name, [])
+                if len(expected) < min_file_sets:
+                    return False
+                snapshot = self.spark.read.schema(self.schemas[name]).parquet(*expected)
+                # tag=None: derived from the monotonic commit counter INSIDE
+                # the commit lock — never reuses a tag, so it can never
+                # overwrite the very path the lazy snapshot DataFrame is
+                # reading from, even with a concurrent committer bumping the
+                # counter
+                try:
+                    self.commit(
+                        None, replaces={name: snapshot}, expect_replaced={name: expected}
+                    )
+                    return True
+                except ConcurrentReplaceError:
+                    if attempt == 3:
+                        raise
         return True
 
     # -- reads -------------------------------------------------------------
@@ -163,19 +199,41 @@ class ParquetCatalog:
         poll shape for downstream consumers (the reference's
         resend_script_ids.py:59-99 poll loop re-reads everything each
         cycle; a 10^10-row campaign's poller must read only the delta).
-        Correct for append-only history; if a replace (compaction)
-        happened after ``seq``, the path diff no longer means "new rows
-        only", so callers poll + compact epochs should re-baseline — the
-        returned frame is still exactly "paths published since seq".
-        Pair with ``commit_seq()`` as the cursor."""
-        since = set(self._load_snapshot(seq)["tables"].get(name, [])) if seq else set()
-        now = self._load_manifest()["tables"].get(name, [])
+        Correct for append-only history ONLY: if a replace (compaction /
+        fold) landed after ``seq``, the path diff contains the rewritten
+        set — ALL rows, old ones included — so this raises
+        ``RebaselineRequired`` instead of silently double-reading; the
+        caller does one full ``read()`` and resumes from a fresh
+        ``commit_seq()`` cursor. Pair with ``commit_seq()`` as the cursor.
+
+        Reader-side expiry hazard (same as ``read_at``): the returned
+        DataFrame is lazy; a concurrent ``expire_snapshots`` in another
+        process can delete its files mid-scan. Pass an age floor
+        (``expire_snapshots(min_age_s=...)``) sized to the longest
+        expected poll-to-consume lag."""
+        m = self._load_manifest()
+        if seq:
+            snap = self._load_snapshot(seq)
+            then_epoch = snap.get("epochs", {}).get(name, 0)
+            now_epoch = m["epochs"].get(name, 0)
+            if then_epoch != now_epoch:
+                raise RebaselineRequired(
+                    f"read_since({name!r}, seq={seq}) crosses a replace "
+                    f"epoch ({then_epoch} -> {now_epoch}): the delta since "
+                    "the cursor contains a compacted rewrite of the whole "
+                    "table, not just new rows. Re-baseline: read() the full "
+                    "table once and poll from a fresh commit_seq() cursor."
+                )
+            since = set(snap["tables"].get(name, []))
+        else:
+            since = set()
+        now = m["tables"].get(name, [])
         new = [p for p in now if p not in since]
         if not new:
             return self.spark.createDataFrame([], self.schemas[name])
         return self.spark.read.schema(self.schemas[name]).parquet(*new)
 
-    def expire_snapshots(self, keep_last: int = 64) -> dict:
+    def expire_snapshots(self, keep_last: int = 64, min_age_s: float = 0.0) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and DELETE every
         data path referenced only by dropped snapshots (Iceberg
         expire_snapshots + orphan-file cleanup). Without this, a 10^10
@@ -186,6 +244,13 @@ class ParquetCatalog:
         appears in some EXPIRED snapshot and in NO kept snapshot and not in
         the current manifest — an in-flight write_unpublished path appears
         in no snapshot at all, so concurrent wave writes are never touched.
+
+        There is NO reader lease: a lazy DataFrame another process obtained
+        from ``read_at``/``read_since`` can still be mid-scan when its files
+        are deleted. ``min_age_s`` is the cheap lease approximation (Iceberg
+        expiry-grace analog): snapshots committed within the last
+        ``min_age_s`` seconds are never expired, so any reader that
+        re-baselines at least that often is safe.
         """
         import shutil
 
@@ -193,7 +258,14 @@ class ParquetCatalog:
             fcntl.flock(lk, fcntl.LOCK_EX)
             snaps = self.snapshots()
             expired = snaps[:-keep_last] if keep_last > 0 else snaps
-            kept = snaps[len(expired):]
+            if min_age_s > 0 and expired:
+                cutoff = time.time() - min_age_s
+                expired = [
+                    s
+                    for s in expired
+                    if self._load_snapshot(s).get("committed_at", 0) <= cutoff
+                ]
+            kept = [s for s in snaps if s not in set(expired)]
             if not expired:
                 return {"deleted_paths": 0, "deleted_snapshots": 0}
 
@@ -350,6 +422,9 @@ class ParquetCatalog:
             for name, df in (replaces or {}).items():
                 p = self._write(name, df, tag)
                 m["tables"][name] = [p]
+                # replace-epoch bump: invalidates every read_since cursor
+                # taken before this commit (see RebaselineRequired)
+                m["epochs"][name] = m["epochs"].get(name, 0) + 1
             if watermark is not None:
                 m["watermark"] = watermark
             if prepared is not None:

@@ -439,23 +439,35 @@ class _TableHostState:
         host_state_view's resolution. Same locking discipline as
         catalog.compact — snapshot and commit under the writer lock, with
         the expect_replaced guard as the structural backstop."""
+        from visiblev8_crawler_spark.catalog import ConcurrentReplaceError
+
         cat = self.cat
         with cat.writer_lock():
-            expected = cat._load_manifest()["tables"].get("host_state", [])
-            if len(expected) < min_file_sets:
-                return False
-            snap = cat.spark.read.schema(schemas.HOST_STATE).parquet(*expected)
-            cols = [f.name for f in schemas.HOST_STATE.fields if f.name != "host"]
-            folded = (
-                snap.groupBy("host")
-                .agg(F.max_by(F.struct(*cols), F.col("last_wave")).alias("s"))
-                .select("host", "s.*")
-            )
-            cat.commit(
-                None,
-                replaces={"host_state": schemas.conform(folded, schemas.HOST_STATE)},
-                expect_replaced={"host_state": expected},
-            )
+            # bounded retry on ConcurrentReplaceError (same recovery as
+            # catalog.compact): a lock-free appender landing between the
+            # snapshot and the manifest swap aborts the rewrite; re-snapshot
+            # picks up its rows and tries again
+            for attempt in range(4):
+                expected = cat._load_manifest()["tables"].get("host_state", [])
+                if len(expected) < min_file_sets:
+                    return False
+                snap = cat.spark.read.schema(schemas.HOST_STATE).parquet(*expected)
+                cols = [f.name for f in schemas.HOST_STATE.fields if f.name != "host"]
+                folded = (
+                    snap.groupBy("host")
+                    .agg(F.max_by(F.struct(*cols), F.col("last_wave")).alias("s"))
+                    .select("host", "s.*")
+                )
+                try:
+                    cat.commit(
+                        None,
+                        replaces={"host_state": schemas.conform(folded, schemas.HOST_STATE)},
+                        expect_replaced={"host_state": expected},
+                    )
+                    return True
+                except ConcurrentReplaceError:
+                    if attempt == 3:
+                        raise
         return True
 
 
@@ -602,13 +614,29 @@ def run_campaign(
     # above it (_TableHostState).
     mode = cfg.host_state_mode
     if mode == "auto":
-        # approx census: the threshold decision tolerates sketch error, and
-        # an exact distinct over a 10^10-row pool would shuffle every host
-        # string just to pick a storage mode
-        n_hosts = pool_df(cat).agg(
-            F.approx_count_distinct("host").alias("n")
-        ).collect()[0]["n"]
-        mode = "table" if n_hosts > cfg.host_state_broadcast_max else "dict"
+        # mode pinning: approx_count_distinct's ±2-4% error around a pool
+        # sitting exactly at the threshold picks a mode nondeterministically
+        # across runs — harmless within one campaign (both modes are
+        # equivalence-tested) but a RESUME must not flip storage modes
+        # mid-campaign, so the first resolution is persisted in the manifest
+        # and every later auto run reads it back instead of re-running the
+        # census
+        pinned = cat.meta("host_state_mode")
+        if pinned:
+            mode = pinned
+        else:
+            # approx census: the threshold decision tolerates sketch error,
+            # and an exact distinct over a 10^10-row pool would shuffle
+            # every host string just to pick a storage mode
+            n_hosts = pool_df(cat).agg(
+                F.approx_count_distinct("host").alias("n")
+            ).collect()[0]["n"]
+            mode = "table" if n_hosts > cfg.host_state_broadcast_max else "dict"
+            cat.commit(None, meta={"host_state_mode": mode})
+    elif mode in ("dict", "table") and cat.meta("host_state_mode") != mode:
+        # an explicit flag overrides (both modes are equivalent); re-pin so
+        # a later auto resume stays on what actually ran last
+        cat.commit(None, meta={"host_state_mode": mode})
     if mode == "table":
         hstate: _HostState | _TableHostState = _TableHostState(cat, robots, cfg)
         if cat.file_sets("host_state") == 0:
