@@ -16,6 +16,13 @@ numbers were single first-execution timings (colder caches); the medians
 here sit lower on queries whose first run pays shuffle-file or JIT warmup
 — BASELINE.md §D records the switch.
 
+Round 5 additions (VERDICT r4 #4/#8): ``queries_min``/``extra_queries_min``
+carry the MIN of the same 3 runs — the less contention-sensitive statistic
+on a shared box (an external tenant inflates median and mean; min survives
+unless all 3 runs were hit) — and ``loadavg_start``/``loadavg_end`` record
+/proc/loadavg so any number taken under host contention is self-flagging
+(BASELINE.md §F's operational rule, now enforced in the artifact itself).
+
 For the north-rule two-cluster-size scaling evidence (local[8] vs local[32])
 run ``python bench_scaling.py`` — that needs two separate JVMs, so it can't
 live inside this single-session bench.
@@ -131,7 +138,16 @@ def _crawl_bench(spark, cpus: int) -> dict:
         shutil.rmtree(cat_dir, ignore_errors=True)
 
 
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
 def main() -> None:
+    loadavg_start = _loadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -168,23 +184,28 @@ def main() -> None:
 
     RUNS = 3
 
-    def timed_median(fn) -> float:
+    def timed(fn) -> tuple[float, float]:
+        """(median, min) of RUNS back-to-back executions."""
         ts = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             fn()
             ts.append(time.perf_counter() - t0)
-        return round(statistics.median(ts), 3)
+        return round(statistics.median(ts), 3), round(min(ts), 3)
 
     per_query: dict[str, float] = {}
+    per_query_min: dict[str, float] = {}
     for name in HEADLINE:
-        per_query[name] = timed_median(lambda: qs[name](spark, sf_dir).collect())
+        per_query[name], per_query_min[name] = timed(
+            lambda: qs[name](spark, sf_dir).collect()
+        )
 
     # round-2 operators, timed OUTSIDE the headline so headline_suite_sec
     # stays directly comparable across rounds
     extra: dict[str, float] = {}
+    extra_min: dict[str, float] = {}
     for name in EXTRA:
-        extra[name] = timed_median(lambda: qs[name](spark, sf_dir).collect())
+        extra[name], extra_min[name] = timed(lambda: qs[name](spark, sf_dir).collect())
 
     crawl = _crawl_bench(spark, cpus)
     total = round(sum(per_query.values()), 3)
@@ -195,11 +216,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "queries_min": per_query_min,
                 "runs": RUNS,
                 "extra_queries": extra,
+                "extra_queries_min": extra_min,
                 "extra_sec": round(sum(extra.values()), 3),
+                "min_sec": round(sum(per_query_min.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **crawl,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": _loadavg(),
             }
         )
     )
