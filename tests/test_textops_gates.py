@@ -57,3 +57,44 @@ def test_contamination_planted_leak(spark):
     out = {r["doc_id"]: r for r in benchmark_contamination(spark, d).collect()}
     assert out[leak_id]["contaminated"] and out[leak_id]["overlap"] == 1.0
     assert not out[clean_id]["contaminated"] and out[clean_id]["n_hit"] == 0
+
+
+def test_contamination_hashed_shingles_parity(spark):
+    """The 100 TB variant (hash_shingles=True: int64 xxhash64 keys through
+    every shuffle instead of n-token strings) must produce the EXACT same
+    screen as the string form on the fixture corpus — and the hashing must
+    be collision-free there, so the parity is exercising identical shingle
+    sets, not cancelling collisions."""
+    from pyspark.sql import functions as F
+
+    from visiblev8_crawler_spark.plans.textops import benchmark_contamination
+
+    a = sorted(tuple(r) for r in benchmark_contamination(spark, SF_DIR).collect())
+    b = sorted(
+        tuple(r)
+        for r in benchmark_contamination(spark, SF_DIR, hash_shingles=True).collect()
+    )
+    assert a == b
+
+    # collision-free on this corpus: |distinct shingles| == |distinct hashes|
+    from visiblev8_crawler_spark.plans.textops import _CONTAM_N, _with_tokens
+    from visiblev8_crawler_spark.plans.queries import load
+
+    d = _with_tokens(load(spark, SF_DIR, "documents"))
+    n = _CONTAM_N
+    sh = d.select(
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
+        ).alias("sh")
+    )
+    counts = sh.agg(
+        F.countDistinct("sh").alias("strings"),
+        F.countDistinct(F.xxhash64("sh")).alias("hashes"),
+    ).collect()[0]
+    assert counts["strings"] == counts["hashes"] > 0

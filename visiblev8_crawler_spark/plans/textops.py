@@ -732,11 +732,15 @@ _CONTAMINATION_ORACLE_SQL = f"""
     "md5 bucket (doc_train_split), so the screen is reproducible across "
     "engines. Scale shape: the shingle join is an inverted-index semi-join "
     "bucketed on the shingle string (the ngram_jaccard construction), "
-    "train-side distinct is one shuffle; at 100 TB hash shingles to int64 "
-    "(xxhash64) to cut shuffle width — kept as raw strings here for "
-    "cross-engine oracle parity.",
+    "train-side distinct is one shuffle; at 100 TB pass hash_shingles=True "
+    "to push int64 xxhash64 keys through the shuffle instead of n-token "
+    "strings (output proven identical on the fixture corpus, "
+    "test_textops_gates.py) — the registry/oracle entry keeps raw strings "
+    "for cross-engine parity.",
 )
-def benchmark_contamination(spark, sf_dir, n: int = _CONTAM_N):
+def benchmark_contamination(
+    spark, sf_dir, n: int = _CONTAM_N, hash_shingles: bool = False
+):
     d = _with_tokens(load(spark, sf_dir, "documents"))
     bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 10
     split = (
@@ -756,7 +760,18 @@ def benchmark_contamination(spark, sf_dir, n: int = _CONTAM_N):
                 ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
             ).alias("sh"),
         )
-        .distinct()
+    )
+    if hash_shingles:
+        # the 100 TB shuffle-width cut: every downstream exchange (the
+        # per-doc distinct, the train-side distinct, the inverted-index
+        # semi-join) keys on an 8-byte int64 instead of an ~n-token string.
+        # Overlap FRACTIONS are what the screen reports, so a hash collision
+        # can only inflate n_hit by conflating two distinct shingles —
+        # vanishing at 2^-64 per pair; parity with the string form is
+        # CI-proven on the fixture corpus (test_textops_gates.py).
+        sh = sh.withColumn("sh", F.xxhash64("sh"))
+    sh = (
+        sh.distinct()
         # 4 plan references (train side, test side x3 consumers) — same
         # persist rationale as ngram_jaccard_pairs
         .persist()
