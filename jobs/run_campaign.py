@@ -50,6 +50,14 @@ def main() -> None:
         "cluster path), or auto by pool host count",
     )
     ap.add_argument(
+        "--host-state-fold-every",
+        type=int,
+        default=16,
+        help="table mode: fold accumulated per-wave host-state deltas back "
+        "to one row per host every N waves (merge-on-read compaction "
+        "cadence); 0 disables folding",
+    )
+    ap.add_argument(
         "--image-sizes",
         default="16,24,32",
         help="comma-separated side lengths for the synthetic images; larger "
@@ -107,6 +115,7 @@ def main() -> None:
             salt_width=args.salt_width,
             wave_period_s=args.wave_period,
             host_state_mode=args.host_state_mode,
+            host_state_fold_every=args.host_state_fold_every,
         ),
         stop_after_waves=args.stop_after_waves,
     )
