@@ -390,3 +390,47 @@ def test_expire_snapshots_age_floor(spark, tmp_path_factory):
     res = cat.expire_snapshots(keep_last=1, min_age_s=0)
     assert res["deleted_snapshots"] == 2
     assert _rows(cat) == {("a", 1), ("b", 2)}
+
+
+def test_poll_loop_exactly_once_across_compaction(spark, tmp_path_factory):
+    """poll() drives the incremental consumer loop exactly-once through a
+    compaction: steady-state polls see only new rows; the poll that crosses
+    the replace epoch returns the FULL table with rebaselined=True (the
+    consumer's reset signal); polling resumes delta-only afterwards."""
+    root = str(tmp_path_factory.mktemp("cat_poll"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+
+    seen, cursor = set(), None
+
+    def step():
+        nonlocal cursor, seen
+        delta, cursor, rebaselined = cat.poll("t", cursor)
+        rows = {(r["k"], r["v"]) for r in delta.collect()}
+        if rebaselined:
+            seen = set()  # reset derived state, then re-consume
+        assert not (rows & seen), f"double-delivered rows: {rows & seen}"
+        seen |= rows
+        return rows, rebaselined
+
+    # empty catalog: empty delta, cursor stays at pre-history
+    rows, reb = step()
+    assert rows == set() and not reb and cursor == 0
+
+    cat.commit("w0", appends={"t": spark.createDataFrame([("a", 1)], T)})
+    rows, reb = step()
+    assert rows == {("a", 1)} and not reb
+
+    cat.commit("w1", appends={"t": spark.createDataFrame([("b", 2)], T)})
+    rows, reb = step()
+    assert rows == {("b", 2)} and not reb, "steady state must be delta-only"
+
+    assert cat.compact("t", min_file_sets=2)
+    cat.commit("w2", appends={"t": spark.createDataFrame([("c", 3)], T)})
+    rows, reb = step()
+    assert reb, "the poll crossing the compaction epoch must flag rebaseline"
+    assert rows == {("a", 1), ("b", 2), ("c", 3)}, "rebaseline delivers the full table"
+
+    cat.commit("w3", appends={"t": spark.createDataFrame([("d", 4)], T)})
+    rows, reb = step()
+    assert rows == {("d", 4)} and not reb, "post-rebaseline polling is delta-only again"
+    assert seen == {("a", 1), ("b", 2), ("c", 3), ("d", 4)}

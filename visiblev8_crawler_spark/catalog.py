@@ -233,6 +233,50 @@ class ParquetCatalog:
             return self.spark.createDataFrame([], self.schemas[name])
         return self.spark.read.schema(self.schemas[name]).parquet(*new)
 
+    def poll(self, name: str, cursor: int | None) -> tuple[DataFrame, int, bool]:
+        """One step of an incremental consumer loop (the sharpened
+        ``read_since``): returns ``(delta_df, next_cursor, rebaselined)``.
+
+        - First call (``cursor`` falsy): full table, ``rebaselined=False``.
+        - Steady state: exactly the file sets committed in
+          ``(cursor, next_cursor]`` — delta computed SNAPSHOT-to-snapshot,
+          so a commit racing the poll can never be double-counted (it lands
+          after ``next_cursor`` and shows up in the next poll).
+        - Across a replace epoch (compaction/fold): ``rebaselined=True``
+          and the delta is the FULL table as of ``next_cursor`` — the
+          consumer must dedupe by key or restart its derived state; the
+          flag is the loud version of ``read_since``'s raise for callers
+          that drive the loop through this API.
+
+        Loop shape (the reference's resend poll, resend_script_ids.py:59-99,
+        driven exactly-once)::
+
+            cursor = None
+            while ...:
+                delta, cursor, rebaselined = cat.poll("fetches", cursor)
+                if rebaselined: reset_derived_state()
+                consume(delta)
+        """
+        next_cursor = self.commit_seq()
+        if not next_cursor:
+            return self.spark.createDataFrame([], self.schemas[name]), 0, False
+        now = self._load_snapshot(next_cursor)
+        now_paths = now["tables"].get(name, [])
+        if not cursor:
+            rebaselined, new = False, now_paths
+        else:
+            then = self._load_snapshot(cursor)
+            if then.get("epochs", {}).get(name, 0) != now.get("epochs", {}).get(name, 0):
+                rebaselined, new = True, now_paths
+            else:
+                since = set(then["tables"].get(name, []))
+                rebaselined = False
+                new = [p for p in now_paths if p not in since]
+        if not new:
+            return self.spark.createDataFrame([], self.schemas[name]), next_cursor, rebaselined
+        df = self.spark.read.schema(self.schemas[name]).parquet(*new)
+        return df, next_cursor, rebaselined
+
     def expire_snapshots(self, keep_last: int = 64, min_age_s: float = 0.0) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and DELETE every
         data path referenced only by dropped snapshots (Iceberg
