@@ -71,6 +71,8 @@ EXTRA = [
     # round 4
     "embedding_lsh_multiprobe_topk",
     "benchmark_contamination",
+    # round 5
+    "doc_gopher_repetition",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

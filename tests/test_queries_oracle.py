@@ -48,6 +48,7 @@ ORACLED = sorted(entry_mod.oracle_sql().keys())
 DEMOTED_ORACLES = {
     "capped_count": "_CAPPED_COUNT_ORACLE_SQL",
     "union_distinct_hosts": "_UNION_DISTINCT_HOSTS_ORACLE_SQL",
+    "case_bucket_classify": "_CASE_BUCKET_ORACLE_SQL",
 }
 
 
@@ -76,8 +77,9 @@ def test_driver_window_pinned_at_50():
     assert set(ordered[:50]) == set(oracled), "oracled queries must lead the iteration order"
     assert "embedding_lsh_multiprobe_topk" in oracled
     assert "benchmark_contamination" in oracled
-    assert "capped_count" not in oracled
-    assert "union_distinct_hosts" not in oracled
+    assert "doc_gopher_repetition" in oracled
+    for demoted in DEMOTED_ORACLES:
+        assert demoted not in oracled, demoted
 
 
 @pytest.mark.parametrize("name", ORACLED)

@@ -289,15 +289,21 @@ def between_in_filters(spark, sf_dir):
     )
 
 
-@q(
-    "case_bucket_classify",
-    """
+# Demoted from the driver-oracle window in round 5 (rotation policy, see
+# __spark_entry__.py): its slot now carries doc_gopher_repetition. The SQL
+# stays here as the pytest replica (tests/test_queries_oracle.py).
+_CASE_BUCKET_ORACLE_SQL = """
     SELECT CASE WHEN o_totalprice >= 4000 THEN 'high'
                 WHEN o_totalprice >= 1500 THEN 'medium'
                 ELSE 'low' END AS confidence_level,
            COUNT(*) AS n
     FROM orders GROUP BY 1
-    """,
+    """
+
+
+@q(
+    "case_bucket_classify",
+    None,  # pytest-oracled via _CASE_BUCKET_ORACLE_SQL (rotation, round 5)
     "X6: 3-way bucket classify (production_classifier.py:264-268) + A9 summary",
 )
 def case_bucket_classify(spark, sf_dir):

@@ -796,3 +796,78 @@ def benchmark_contamination(
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "doc_gopher_repetition",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, toks, len(toks) AS n,
+          CASE WHEN len(toks) >= 2
+               THEN list_transform(generate_series(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+1], ' '))
+               ELSE [] END AS g2,
+          CASE WHEN len(toks) >= 3
+               THEN list_transform(generate_series(1, len(toks) - 2),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [] END AS g3
+          FROM t),
+    f AS (SELECT doc_id, n,
+          ROUND(CASE WHEN n > 0
+                THEN 1.0 - len(list_distinct(toks)) * 1.0 / n ELSE 0.0 END, 4)
+              AS dup_word_frac,
+          ROUND(CASE WHEN len(g2) > 0
+                THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) ELSE 0.0 END, 4)
+              AS dup_2gram_frac,
+          ROUND(CASE WHEN len(g3) > 0
+                THEN 1.0 - len(list_distinct(g3)) * 1.0 / len(g3) ELSE 0.0 END, 4)
+              AS dup_3gram_frac
+          FROM g)
+    SELECT doc_id, n AS n_tokens, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+           (dup_2gram_frac >= 0.06 OR dup_3gram_frac >= 0.02) AS repetitious
+    FROM f
+    """,
+    "Gopher-style repetition filter (Rae et al. 2021 §A1.1, the standard "
+    "within-doc quality gate a training pipeline runs next to dedup): per "
+    "doc, the fraction of word / 2-gram / 3-gram occurrences that are "
+    "repeats of an earlier occurrence, and a flag when either n-gram "
+    "fraction crosses the threshold (Gopher's published cutoffs target long natural-language docs; these are calibrated to the synthetic corpus's p90 so the flag discriminates rather than sitting at a constant). Every column is a JVM "
+    "higher-order function over the token array — map-only, zero "
+    "exchanges, embarrassingly parallel at any corpus size. The flag "
+    "compares the ROUNDED fractions so the cross-engine boundary can never "
+    "disagree at a threshold tie. Rotated into the driver-oracle window in "
+    "round 5 (case_bucket_classify's slot).",
+)
+def doc_gopher_repetition(spark, sf_dir):
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+
+    def grams(width):
+        return F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - (width - 1)),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, width)),
+        )
+
+    def dup_frac(width):
+        # guard BEFORE building grams: Spark's sequence(1, stop) runs
+        # BACKWARDS for stop < 1, which would fabricate n-grams for short
+        # docs instead of yielding none
+        if width == 1:
+            total, distinct = F.col("n_tokens"), F.size(F.array_distinct("toks"))
+        else:
+            total = F.col("n_tokens") - (width - 1)
+            distinct = F.size(F.array_distinct(grams(width)))
+        return F.when(
+            total > 0, F.round(F.lit(1.0) - distinct * 1.0 / total, 4)
+        ).otherwise(F.lit(0.0))
+
+    out = d.select(
+        "doc_id",
+        "n_tokens",
+        dup_frac(1).alias("dup_word_frac"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+    return out.withColumn(
+        "repetitious",
+        (F.col("dup_2gram_frac") >= 0.06) | (F.col("dup_3gram_frac") >= 0.02),
+    )
