@@ -190,3 +190,15 @@ def test_select_wave_table_mode_no_forced_broadcast(spark, world):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastHashJoin" not in p, p
+
+
+def test_gopher_repetition_map_only(spark):
+    """doc_gopher_repetition's 100 TB story is that it is embarrassingly
+    parallel: one parquet scan, all fractions computed as JVM higher-order
+    functions in the projection — zero Exchange, zero Window, zero
+    Aggregate nodes."""
+    p = _plan(entry_mod.queries()["doc_gopher_repetition"](spark, SF_DIR))
+    assert p.count("Exchange") == 0, p
+    assert p.count("Window") == 0, p
+    assert "Aggregate" not in p, p
+    assert p.count("Scan parquet") == 1, p
