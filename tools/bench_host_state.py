@@ -73,7 +73,7 @@ def run_leg(mode: str, idx: int, args) -> dict:
         os.path.join(REPO, "jobs", "run_campaign.py"),
         "--workdir", wd,
         "--images", "2000", "--urls", str(args.urls),
-        "--hosts", str(args.hosts), "--batch-size", "50000",
+        "--hosts", str(args.hosts), "--batch-size", str(args.batch_size),
         "--wave-period", "1200", "--stop-after-waves", "8",
         "--host-state-mode", mode,
         "--host-state-fold-every", str(args.fold_every),
@@ -106,6 +106,7 @@ def main() -> None:
     ap.add_argument("--workdir", default="/tmp/vv8_hs_bench")
     ap.add_argument("--urls", type=int, default=500_000)
     ap.add_argument("--hosts", type=int, default=10_000)
+    ap.add_argument("--batch-size", type=int, default=50_000)
     ap.add_argument("--fold-every", type=int, default=4)
     ap.add_argument("--legs", type=int, default=4)
     ap.add_argument("--cpus", type=int, default=32)
@@ -145,7 +146,7 @@ def main() -> None:
     report = {
         "metric": "host_state_table_vs_dict_steady_rows_per_s",
         "flags": {
-            "urls": args.urls, "hosts": args.hosts, "batch_size": 50000,
+            "urls": args.urls, "hosts": args.hosts, "batch_size": args.batch_size,
             "wave_period": 1200, "stop_after_waves": 8,
             "fold_every": args.fold_every, "cpus": args.cpus,
         },
