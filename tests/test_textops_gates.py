@@ -98,3 +98,57 @@ def test_contamination_hashed_shingles_parity(spark):
         F.countDistinct(F.xxhash64("sh")).alias("hashes"),
     ).collect()[0]
     assert counts["strings"] == counts["hashes"] > 0
+
+
+def test_pii_scrub_oracle_replica(spark):
+    """doc_pii_scrub's DuckDB replica (degenerate no-op on the synthetic
+    corpus: identity text, zero counts — still hash-exact)."""
+    import duckdb
+
+    from visiblev8_crawler_spark.plans.queries import QUERIES
+    from visiblev8_crawler_spark.plans.textops import _PII_ORACLE_SQL
+
+    got = sorted(
+        tuple(r) for r in QUERIES["doc_pii_scrub"].spark(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.execute(_PII_ORACLE_SQL).fetchall())
+    assert got == want
+    assert all(not r[5] for r in got), "synthetic corpus must carry no PII"
+
+
+def test_pii_scrub_planted_documents(spark):
+    """Semantics on planted PII: counts, typed placeholders, and the
+    untouched remainder of the text."""
+    import os
+    import tempfile
+
+    from visiblev8_crawler_spark.plans.textops import doc_pii_scrub
+
+    rows = [
+        (1, "contact bob.smith+spam@mail-host.co.uk or alice@example.org now", 60, "s"),
+        (2, "server at 192.168.1.254 and 10.0.0.1 rebooted", 45, "s"),
+        (3, "call +4915123456789 today", 25, "s"),
+        (4, "mixed a@b.io via 8.8.8.8 dial +1234567890 end", 45, "s"),
+        (5, "clean document with no identifiers at all", 41, "s"),
+        (6, "not an ip 1234.5.6.7890 and not a mail foo@bar", 46, "s"),
+    ]
+    d = tempfile.mkdtemp(prefix="pii_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in doc_pii_scrub(spark, d).collect()}
+
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (2, 0, 0)
+    assert out[1]["scrubbed"] == "contact <EMAIL> or <EMAIL> now"
+    assert (out[2]["n_ips"], out[2]["scrubbed"]) == (
+        2, "server at <IP> and <IP> rebooted"
+    )
+    assert (out[3]["n_phones"], out[3]["scrubbed"]) == (1, "call <PHONE> today")
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (1, 1, 1)
+    assert out[4]["scrubbed"] == "mixed <EMAIL> via <IP> dial <PHONE> end"
+    assert not out[5]["has_pii"] and out[5]["scrubbed"] == rows[4][1]
+    # near-misses stay: 4-digit first octet fails \b\d{1,3}\., bare foo@bar
+    # has no dotted TLD
+    assert not out[6]["has_pii"] and out[6]["scrubbed"] == rows[5][1]

@@ -871,3 +871,68 @@ def doc_gopher_repetition(spark, sf_dir):
         "repetitious",
         (F.col("dup_2gram_frac") >= 0.06) | (F.col("dup_3gram_frac") >= 0.02),
     )
+
+
+# PII scrubbing (the C4/CCNet-style redaction pass a corpus runs before
+# training). Patterns restricted to syntax Java regex and RE2 interpret
+# identically (character classes, bounded repetition, \d, word boundary) so
+# the scrubbed TEXT — not just the counts — is cross-engine comparable.
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{7,15}"
+
+# Full DuckDB replica — NOT a driver oracle this round: the hard-signal
+# window is pinned at exactly 50 (rotation policy, __spark_entry__.py) and
+# this operator is degenerate on the synthetic corpus (no PII -> identity
+# transform), so its semantics live in the planted-document pytest gate
+# (test_textops_gates.py) and this replica guards the no-op path; it is
+# written in the driver's dialect and rotates in next.
+_PII_ORACLE_SQL = f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+           (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(text, '{_PII_IP}'))
+            + len(regexp_extract_all(text, '{_PII_PHONE}'))) > 0 AS has_pii
+    FROM documents
+"""
+
+
+@q(
+    "doc_pii_scrub",
+    None,  # pytest-oracled via _PII_ORACLE_SQL + planted-doc gate (above)
+    "PII redaction pass (emails / IPv4 / intl phone -> typed placeholder "
+    "tokens, with per-doc match counts and a has_pii flag) — the "
+    "C4/CCNet-shape scrub a corpus runs before training. Pure "
+    "regexp_replace/extract_all in the projection: map-only, zero "
+    "exchanges, one corpus pass; patterns kept to the Java-regex/RE2 "
+    "common subset so the scrubbed text itself is oracle-comparable.",
+)
+def doc_pii_scrub(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>",
+        ),
+        _PII_PHONE, "<PHONE>",
+    )
+    total = n(_PII_EMAIL) + n(_PII_IP) + n(_PII_PHONE)
+    return d.select(
+        "doc_id",
+        n(_PII_EMAIL).alias("n_emails"),
+        n(_PII_IP).alias("n_ips"),
+        n(_PII_PHONE).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+        (total > 0).alias("has_pii"),
+    )
