@@ -49,6 +49,7 @@ DEMOTED_ORACLES = {
     "capped_count": "_CAPPED_COUNT_ORACLE_SQL",
     "union_distinct_hosts": "_UNION_DISTINCT_HOSTS_ORACLE_SQL",
     "case_bucket_classify": "_CASE_BUCKET_ORACLE_SQL",
+    "semi_join_active_parts": "_SEMI_JOIN_ORACLE_SQL",
 }
 
 
@@ -78,6 +79,7 @@ def test_driver_window_pinned_at_50():
     assert "embedding_lsh_multiprobe_topk" in oracled
     assert "benchmark_contamination" in oracled
     assert "doc_gopher_repetition" in oracled
+    assert "image_phash_neardup_pairs" in oracled
     for demoted in DEMOTED_ORACLES:
         assert demoted not in oracled, demoted
 

@@ -380,3 +380,112 @@ def decode_av_stub(data: bytes, fmt: str) -> np.ndarray:
     Spark-side plumbing (binary column + mapInPandas kernel shape) is what
     this module demonstrates; a real deployment drops pyav/ffmpeg in here."""
     raise NotImplementedError(f"no {fmt!r} codec in this environment (stub by design)")
+
+
+# ---------------------------------------------------------------------------
+# exact Hamming near-dup pairs via multi-index hashing
+# ---------------------------------------------------------------------------
+# Multi-index hashing (Norouzi, Punjani, Fleet: "Fast Search in Hamming
+# Space with Multi-Index Hashing", CVPR 2012): split the 64-bit phash into
+# m=8 bands of 8 bits; by pigeonhole, two hashes within Hamming distance
+# tau <= m*(r+1)-1 agree to within r bits on AT LEAST one band. With r=2,
+# any pair at distance <= 23 shares a band within 2 bit flips — so for the
+# operator's tau=16 the banded candidate set provably contains EVERY true
+# pair and the oracle is plain brute force, not a replica of the banding.
+# Probe-side neighborhood expansion: each band key explodes to its 37
+# radius-<=2 neighbors (C(8,0)+C(8,1)+C(8,2)); the index side stays exact,
+# so the join is candidate-bounded by bucket occupancy, never all-pairs.
+_PHASH_PAIR_TAU = 16
+_PHASH_BANDS = 8
+_PHASH_BAND_BITS = 8
+_PHASH_PROBE_MASKS = sorted(
+    {0}
+    | {1 << i for i in range(_PHASH_BAND_BITS)}
+    | {(1 << i) | (1 << j) for i in range(_PHASH_BAND_BITS) for j in range(i)}
+)
+
+
+@q(
+    "image_phash_neardup_pairs",
+    f"""
+    WITH g AS (SELECT s.doc_id, s.phash
+               FROM '{_GOLDEN_DIR}/image_stats.parquet' s
+               JOIN documents d ON s.doc_id = d.doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_PAIR_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+    "multimodal near-dup detection: all image pairs within phash Hamming "
+    f"distance {_PHASH_PAIR_TAU} via multi-index hashing — "
+    "LOSSLESS banding (pigeonhole over 8x8-bit bands with radius-2 probes "
+    "covers every pair to distance 23), so the oracle is the brute-force "
+    "all-pairs SQL and parity proves the pruning exact, not approximately "
+    "recalled. Scale shape: index side 8 rows/doc, probe side 296 rows/doc "
+    "(8 bands x 37 neighbors), one bucketed equi-join on (band, key) + "
+    "distinct pairs + an 8-byte XOR popcount — candidate cost is bucket "
+    "occupancy, never n^2; the image-payload twin of "
+    "embedding_lsh_neardup_pairs with a provable-completeness upgrade. "
+    "Promoted to a driver oracle in round 5 (semi_join_active_parts's "
+    "slot).",
+)
+def image_phash_neardup_pairs(spark, sf_dir):
+    ph = (
+        _with_images(spark, sf_dir)
+        .mapInPandas(_stats_kernel, _STATS_SCHEMA)
+        .select("doc_id", "phash")
+    )
+
+    def band_key(b):
+        return F.shiftrightunsigned("phash", b * _PHASH_BAND_BITS).bitwiseAND(
+            F.lit((1 << _PHASH_BAND_BITS) - 1)
+        )
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_key(b).cast("int").alias("key"))
+            for b in range(_PHASH_BANDS)
+        ]
+    )
+    index = ph.select("doc_id", "phash", F.explode(bands).alias("bk")).select(
+        "doc_id", "phash", "bk.band", "bk.key"
+    )
+    probe = index.select(
+        "doc_id",
+        "phash",
+        "band",
+        "key",
+        F.explode(F.array(*[F.lit(m) for m in _PHASH_PROBE_MASKS])).alias("mask"),
+    ).select(
+        "doc_id", "phash", "band", F.col("key").bitwiseXOR(F.col("mask")).alias("key")
+    )
+    # probe ⋈ index on (band, key): doc_id inequality orients each pair
+    # once; distinct collapses multi-band / multi-probe hits before the
+    # popcount so each candidate pair is scored exactly once
+    cand = (
+        probe.alias("a")
+        .join(
+            index.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= _PHASH_PAIR_TAU)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -198,13 +198,19 @@ def anti_join_no_orders(spark, sf_dir):
     ).select("c_custkey", "c_name")
 
 
-@q(
-    "semi_join_active_parts",
-    """
+# Demoted from the driver-oracle window in round 5 (rotation policy, see
+# __spark_entry__.py): its slot now carries image_phash_neardup_pairs. The
+# SQL stays here as the pytest replica (tests/test_queries_oracle.py).
+_SEMI_JOIN_ORACLE_SQL = """
     SELECT p_partkey, p_brand FROM part p
     WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
                   AND l.l_quantity > 40)
-    """,
+    """
+
+
+@q(
+    "semi_join_active_parts",
+    None,  # pytest-oracled via _SEMI_JOIN_ORACLE_SQL (rotation, round 5)
     "semi-join complement of D7 (cache-hit path, backend tasks.py:151-156)",
 )
 def semi_join_active_parts(spark, sf_dir):
