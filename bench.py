@@ -73,6 +73,8 @@ EXTRA = [
     "benchmark_contamination",
     # round 5
     "doc_gopher_repetition",
+    "doc_pii_scrub",
+    "image_phash_neardup_pairs",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget
