@@ -50,6 +50,13 @@ def main() -> None:
         "cluster path), or auto by pool host count",
     )
     ap.add_argument(
+        "--robots-txt",
+        default=None,
+        help="parquet of (host, robots_txt) RAW robots.txt bodies; parsed "
+        "via functions/robots.py (RFC 9309 subset) into the politeness "
+        "dimension instead of the synthetic structured robots table",
+    )
+    ap.add_argument(
         "--host-state-fold-every",
         type=int,
         default=16,
@@ -99,7 +106,12 @@ def main() -> None:
         frontier = frontier_from_text(spark, args.frontier_file)
     else:
         frontier = spark.read.parquet(os.path.join(world, "frontier.parquet"))
-    robots = spark.read.parquet(os.path.join(world, "robots.parquet"))
+    if args.robots_txt:
+        from visiblev8_crawler_spark.functions.robots import robots_dim_from_txt
+
+        robots = robots_dim_from_txt(spark.read.parquet(args.robots_txt))
+    else:
+        robots = spark.read.parquet(os.path.join(world, "robots.parquet"))
     images = spark.read.parquet(os.path.join(world, "images.parquet"))
 
     t0 = time.perf_counter()
