@@ -47,9 +47,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to pytest replicas (their SQL stays in the plans module as a
     # _*_ORACLE_SQL constant, run verbatim by tests/test_queries_oracle.py).
     # Newest-in, count pinned at 50: every operator gets at least one round
-    # inside the hard signal. Round-5 rotation: capped_count and
-    # union_distinct_hosts out; embedding_lsh_multiprobe_topk and
-    # benchmark_contamination in.
+    # inside the hard signal. Round-5 rotation (4 out / 4 in):
+    #   out: capped_count, union_distinct_hosts, case_bucket_classify,
+    #        semi_join_active_parts (pytest replicas in
+    #        tests/test_queries_oracle.py DEMOTED_ORACLES)
+    #   in:  embedding_lsh_multiprobe_topk, benchmark_contamination,
+    #        doc_gopher_repetition, image_phash_neardup_pairs
+    # (doc_pii_scrub stays pytest-gated this round: its output is the
+    # identity transform on the PII-free synthetic corpus, so its hard
+    # signal lives in the planted-document gate; next-in when eligible.)
     reg = _registry()
     ordered = sorted(reg, key=lambda name: reg[name].oracle is None)
     return {name: reg[name].spark for name in ordered}

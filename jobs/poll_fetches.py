@@ -70,29 +70,45 @@ def save_cursor(out: str, table: str, cursor: int) -> None:
 def poll_once(cat, table: str, out: str) -> dict:
     """One forwarder step: read the delta, write it as a batch, advance the
     cursor. Returns {rows, cursor, rebaselined}."""
+    prefix = f"batch_{table}_"
     cursor = load_cursor(out, table)
     # drop unacknowledged batches from a run killed between batch write and
     # cursor save: their rows are still "new" relative to the committed
     # cursor, so keeping them would double-count once this poll (possibly at
-    # a NEWER next_cursor, hence a different path) re-forwards the delta
+    # a NEWER next_cursor, hence a different path) re-forwards the delta.
+    # Batch paths embed the table name (like the cursor file) so two tables
+    # forwarded into one --out can never clobber each other's batches.
     for fn in os.listdir(out):
-        if fn.startswith("batch_") and int(fn[6:]) > (cursor or 0):
+        if fn.startswith(prefix) and int(fn[len(prefix):]) > (cursor or 0):
             shutil.rmtree(os.path.join(out, fn), ignore_errors=True)
+    # an expired cursor (consumer down longer than the expiry horizon)
+    # comes back from poll() as rebaselined=True with the full table —
+    # same recovery as an epoch crossing, no special case here
     delta, next_cursor, rebaselined = cat.poll(table, cursor)
     if rebaselined:
         # epoch crossing: the delta IS the full table; superseded batches
         # must go or the union double-counts every pre-compaction row
         for fn in os.listdir(out):
-            if fn.startswith("batch_"):
+            if fn.startswith(prefix):
                 shutil.rmtree(os.path.join(out, fn), ignore_errors=True)
     if next_cursor == (cursor or 0) and not rebaselined:
         return {"rows": 0, "cursor": next_cursor, "rebaselined": False}
     # deterministic per-cursor path: a forwarder killed after the write but
-    # before the cursor save re-runs the same delta into the same path
-    batch = os.path.join(out, f"batch_{next_cursor:08d}")
-    n = delta.count()
-    if n:
-        delta.write.mode("overwrite").parquet(batch)
+    # before the cursor save re-runs the same delta into the same path.
+    # Observation rides the sink write so the delta is scanned ONCE (the
+    # repo's one-pass sink+counts pattern), not count()-then-write twice.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    batch = os.path.join(out, f"{prefix}{next_cursor:08d}")
+    obs = Observation()
+    delta.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(batch)
+    n = int(obs.get["n"])
+    if n == 0:
+        # new file sets that held zero rows: don't leave an empty batch dir
+        shutil.rmtree(batch, ignore_errors=True)
     save_cursor(out, table, next_cursor)
     return {"rows": n, "cursor": next_cursor, "rebaselined": rebaselined}
 

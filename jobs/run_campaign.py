@@ -109,7 +109,13 @@ def main() -> None:
     if args.robots_txt:
         from visiblev8_crawler_spark.functions.robots import robots_dim_from_txt
 
-        robots = robots_dim_from_txt(spark.read.parquet(args.robots_txt))
+        # materialize the parse ONCE: the politeness join and table-mode
+        # state delta re-reference this frame every wave, and an unpinned
+        # plan would re-run the Python parse kernel over every body each
+        # time
+        robots = robots_dim_from_txt(
+            spark.read.parquet(args.robots_txt)
+        ).localCheckpoint(eager=True)
     else:
         robots = spark.read.parquet(os.path.join(world, "robots.parquet"))
     images = spark.read.parquet(os.path.join(world, "images.parquet"))

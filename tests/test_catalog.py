@@ -279,7 +279,11 @@ def test_campaign_disk_stays_bounded_with_expiry(spark, world, tmp_path_factory)
     images = spark.read.parquet(world["paths"]["images"])
     cat = scheduler.run_campaign(
         spark, root, frontier, robots, images,
-        CrawlConfig(batch_size=150, compact_every=2, expire_keep_snapshots=2),
+        # min_age 0: this test asserts the tight disk bound itself; the
+        # production default (300 s) would keep young snapshots alive for
+        # the whole sub-minute campaign and mask the mechanics under test
+        CrawlConfig(batch_size=150, compact_every=2, expire_keep_snapshots=2,
+                    expire_min_age_s=0.0),
     )
     assert scheduler.pending_df(cat).count() == 0
     fetch_sets = os.listdir(os.path.join(root, "data", "fetches"))
@@ -486,3 +490,27 @@ def test_poll_fuzz_random_append_compact_sequences(spark, tmp_path_factory):
             poll()
     poll()  # final drain: consumer must end exactly equal to the ledger
     assert consumed == _rows(cat)
+
+
+def test_poll_expired_cursor_rebaselines(spark, tmp_path_factory):
+    """A consumer that was down longer than the expiry horizon comes back
+    with a cursor whose snapshot no longer exists: poll() must return the
+    full table with rebaselined=True (the same recovery as an epoch
+    crossing), not crash-loop on the dead cursor."""
+    root = str(tmp_path_factory.mktemp("cat_expired_cursor"))
+    cat = ParquetCatalog(spark, root, {"t": T})
+    cat.commit("w0", appends={"t": spark.createDataFrame([("a", 1)], T)})
+    _, cursor, _ = cat.poll("t", None)
+    cat.commit("w1", appends={"t": spark.createDataFrame([("b", 2)], T)})
+    cat.commit("w2", appends={"t": spark.createDataFrame([("c", 3)], T)})
+    cat.expire_snapshots(keep_last=1, min_age_s=0)
+    assert cursor not in cat.snapshots(), "precondition: the cursor must be dead"
+
+    delta, next_cursor, rebaselined = cat.poll("t", cursor)
+    assert rebaselined
+    assert {(r["k"], r["v"]) for r in delta.collect()} == {("a", 1), ("b", 2), ("c", 3)}
+    # and the loop continues delta-only from the fresh cursor
+    cat.commit("w3", appends={"t": spark.createDataFrame([("d", 4)], T)})
+    delta, _, rebaselined = cat.poll("t", next_cursor)
+    assert not rebaselined
+    assert {(r["k"], r["v"]) for r in delta.collect()} == {("d", 4)}

@@ -157,3 +157,33 @@ def test_auto_resume_keeps_pinned_mode(spark, world, tmp_path_factory, table_run
     assert _state_rows(scheduler.host_state_view(cat)) == _state_rows(
         scheduler.host_state_view(table_run[0])
     )
+
+
+def test_auto_resume_ratchets_dict_to_table(spark, world, tmp_path_factory, table_run):
+    """The pin is a one-way ratchet: a campaign pinned 'dict' whose pool
+    sits above the (now smaller) broadcast threshold on resume must UPGRADE
+    to table mode — the pool-outgrew-broadcast path — instead of honoring a
+    stale dict pin into a driver-side collect of the whole host universe.
+    Selection stays bit-identical through the switch (both modes are
+    equivalence-proven; the table bootstrap folds the committed ledger)."""
+    root = str(tmp_path_factory.mktemp("cat_hs_ratchet"))
+    frontier = spark.read.parquet(world["paths"]["frontier"])
+    robots = spark.read.parquet(world["paths"]["robots"])
+    images = spark.read.parquet(world["paths"]["images"])
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images,
+        CrawlConfig(host_state_mode="auto", host_state_broadcast_max=10**9, **CFG_KW),
+        stop_after_waves=2,
+    )
+    assert cat.meta("host_state_mode") == "dict"
+    assert cat.file_sets("host_state") == 0
+
+    # resume with the threshold below the world's host count: census says
+    # table; the dict pin must ratchet up, re-pin, and finish in table mode
+    cat = scheduler.run_campaign(
+        spark, root, frontier, robots, images,
+        CrawlConfig(host_state_mode="auto", host_state_broadcast_max=5, **CFG_KW),
+    )
+    assert cat.meta("host_state_mode") == "table"
+    assert cat.file_sets("host_state") > 0
+    assert _fetch_rows(cat) == _fetch_rows(table_run[0])

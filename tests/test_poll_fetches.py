@@ -64,7 +64,7 @@ def test_forwarder_exactly_once_through_resume_compaction_and_crash(
     # planting an orphan batch beyond the committed cursor; the next poll
     # must drop it, not double-count it
     cur = load_cursor(out, "fetches")
-    orphan = os.path.join(out, f"batch_{cur + 99:08d}")
+    orphan = os.path.join(out, f"batch_fetches_{cur + 99:08d}")
     src = next(os.path.join(out, d) for d in os.listdir(out) if d.startswith("batch_"))
     shutil.copytree(src, orphan)
     cat = scheduler.run_campaign(

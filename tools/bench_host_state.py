@@ -136,10 +136,11 @@ def main() -> None:
 
     d, t = steady("dict"), steady("table")
     sel = {
-        m: {
-            k: legs_m[0]["result"][k]
-            for k in ("attempted", "ok", "failed")
-        }
+        m: (
+            {k: legs_m[0]["result"][k] for k in ("attempted", "ok", "failed")}
+            if legs_m
+            else None
+        )
         for m, legs_m in (("dict", [l for l in legs if l["mode"] == "dict"]),
                           ("table", [l for l in legs if l["mode"] == "table"]))
     }
@@ -155,7 +156,9 @@ def main() -> None:
         "table_over_dict": round(
             (sum(t) / len(t)) / (sum(d) / len(d)), 4
         ) if d and t else None,
-        "selection_identical": sel["dict"] == sel["table"],
+        "selection_identical": (
+            sel["dict"] == sel["table"] if sel["dict"] and sel["table"] else None
+        ),
         "selection": sel,
         "legs": legs,
     }

@@ -265,8 +265,18 @@ class ParquetCatalog:
         if not cursor:
             rebaselined, new = False, now_paths
         else:
-            then = self._load_snapshot(cursor)
-            if then.get("epochs", {}).get(name, 0) != now.get("epochs", {}).get(name, 0):
+            try:
+                then = self._load_snapshot(cursor)
+            except KeyError:
+                # the cursor's snapshot was expired while the consumer was
+                # down longer than the expiry horizon — the delta since it
+                # is unknowable, which is the same situation as an epoch
+                # crossing: rebaseline with the full table instead of
+                # crash-looping on a dead cursor
+                then = None
+            if then is None or then.get("epochs", {}).get(name, 0) != now.get(
+                "epochs", {}
+            ).get(name, 0):
                 rebaselined, new = True, now_paths
             else:
                 since = set(then["tables"].get(name, []))

@@ -435,6 +435,11 @@ def image_phash_neardup_pairs(spark, sf_dir):
         _with_images(spark, sf_dir)
         .mapInPandas(_stats_kernel, _STATS_SCHEMA)
         .select("doc_id", "phash")
+        # 2 plan references (probe and index sides of the self-join) — an
+        # unpinned subtree would run the encode+decode+phash Python kernel
+        # twice per execution (same persist rationale as
+        # benchmark_contamination's shingle frame)
+        .persist()
     )
 
     def band_key(b):

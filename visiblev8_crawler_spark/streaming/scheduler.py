@@ -526,6 +526,13 @@ class CrawlConfig:
     # expire_snapshots analog) — without it every compaction strands the
     # superseded file sets on disk forever. None disables expiry.
     expire_keep_snapshots: int | None = 256
+    # reader-lease age floor passed to expire_snapshots: snapshots younger
+    # than this are never expired, so an incremental consumer (catalog.poll
+    # / jobs/poll_fetches.py) that re-polls at least this often can never
+    # have a lazy delta scan's files deleted from under it by the wave
+    # loop's maintenance pass. 0 disables the floor (tests that assert
+    # tight disk bounds set it explicitly).
+    expire_min_age_s: float = 300.0
 
 
 def open_catalog(spark: SparkSession, root: str) -> ParquetCatalog:
@@ -614,16 +621,20 @@ def run_campaign(
     # above it (_TableHostState).
     mode = cfg.host_state_mode
     if mode == "auto":
-        # mode pinning: approx_count_distinct's ±2-4% error around a pool
-        # sitting exactly at the threshold picks a mode nondeterministically
-        # across runs — harmless within one campaign (both modes are
-        # equivalence-tested) but a RESUME must not flip storage modes
-        # mid-campaign, so the first resolution is persisted in the manifest
-        # and every later auto run reads it back instead of re-running the
-        # census
+        # mode pinning, as a ONE-WAY dict->table ratchet:
+        # approx_count_distinct's ±2-4% error around a pool sitting exactly
+        # at the threshold picks a mode nondeterministically across runs —
+        # harmless within one campaign (both modes are equivalence-tested)
+        # but a resume must never flip table->dict (losing the committed
+        # state table's authority) or oscillate at the boundary. A pinned
+        # "table" is final; a pinned "dict" still re-runs the census so a
+        # pool that GREW past broadcast range (add_seeds ingest) upgrades
+        # instead of driving a full-host-universe collect on the driver —
+        # the table bootstrap path (seed_from_fold below) makes the upgrade
+        # exact.
         pinned = cat.meta("host_state_mode")
-        if pinned:
-            mode = pinned
+        if pinned == "table":
+            mode = "table"
         else:
             # approx census: the threshold decision tolerates sketch error,
             # and an exact distinct over a 10^10-row pool would shuffle
@@ -632,7 +643,10 @@ def run_campaign(
                 F.approx_count_distinct("host").alias("n")
             ).collect()[0]["n"]
             mode = "table" if n_hosts > cfg.host_state_broadcast_max else "dict"
-            cat.commit(None, meta={"host_state_mode": mode})
+            if pinned == "dict" and mode == "dict":
+                pass  # unchanged; no re-pin commit needed
+            else:
+                cat.commit(None, meta={"host_state_mode": mode})
     elif mode in ("dict", "table") and cat.meta("host_state_mode") != mode:
         # an explicit flag overrides (both modes are equivalent); re-pin so
         # a later auto resume stays on what actually ran last
@@ -859,7 +873,10 @@ def _wave_loop(
             for table in ("fetches", "metrics", "frontier_prepared", "rejected"):
                 cat.compact(table, min_file_sets=cfg.compact_every)
             if cfg.expire_keep_snapshots:
-                cat.expire_snapshots(keep_last=cfg.expire_keep_snapshots)
+                cat.expire_snapshots(
+                    keep_last=cfg.expire_keep_snapshots,
+                    min_age_s=cfg.expire_min_age_s,
+                )
 
         carry_s = time.perf_counter() - t_commit
         wave_id += 1
