@@ -75,6 +75,7 @@ EXTRA = [
     "doc_gopher_repetition",
     "doc_pii_scrub",
     "image_phash_neardup_pairs",
+    "video_frame_overlap",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

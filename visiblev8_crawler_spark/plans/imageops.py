@@ -405,6 +405,73 @@ _PHASH_PROBE_MASKS = sorted(
 )
 
 
+def _mih_pairs(hashes, tau: int):
+    """Multi-index-hashing candidate join, shared by the image and video
+    near-dup operators. ``hashes``: (gid, item, phash) — gid groups rows
+    that must never pair with each other (a doc's only image, a video's
+    frames); item distinguishes rows within a gid. Returns
+    (gid_a, item_a, gid_b, item_b, hamming) with gid_a < gid_b and
+    hamming <= tau — EVERY such pair, provided tau <= 23 (pigeonhole over
+    8x8-bit bands with radius-2 probes; see the module note above)."""
+    assert tau <= _PHASH_BANDS * 3 - 1, "banding is only lossless to distance 23"
+
+    def band_key(b):
+        return F.shiftrightunsigned("phash", b * _PHASH_BAND_BITS).bitwiseAND(
+            F.lit((1 << _PHASH_BAND_BITS) - 1)
+        )
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_key(b).cast("int").alias("key"))
+            for b in range(_PHASH_BANDS)
+        ]
+    )
+    index = hashes.select(
+        "gid", "item", "phash", F.explode(bands).alias("bk")
+    ).select("gid", "item", "phash", "bk.band", "bk.key")
+    probe = index.select(
+        "gid",
+        "item",
+        "phash",
+        "band",
+        "key",
+        F.explode(F.array(*[F.lit(m) for m in _PHASH_PROBE_MASKS])).alias("mask"),
+    ).select(
+        "gid", "item", "phash", "band",
+        F.col("key").bitwiseXOR(F.col("mask")).alias("key"),
+    )
+    # probe ⋈ index on (band, key): gid inequality orients each pair once;
+    # distinct collapses multi-band / multi-probe hits before the popcount
+    # so each candidate pair is scored exactly once
+    cand = (
+        probe.alias("a")
+        .join(
+            index.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.gid") < F.col("b.gid"),
+            ],
+        )
+        .select(
+            F.col("a.gid").alias("gid_a"),
+            F.col("a.item").alias("item_a"),
+            F.col("b.gid").alias("gid_b"),
+            F.col("b.item").alias("item_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= tau)
+        .drop("pa", "pb")
+    )
+
+
 @q(
     "image_phash_neardup_pairs",
     f"""
@@ -434,63 +501,80 @@ def image_phash_neardup_pairs(spark, sf_dir):
     ph = (
         _with_images(spark, sf_dir)
         .mapInPandas(_stats_kernel, _STATS_SCHEMA)
-        .select("doc_id", "phash")
+        .select(
+            F.col("doc_id").alias("gid"), F.lit(0).alias("item"), "phash"
+        )
         # 2 plan references (probe and index sides of the self-join) — an
         # unpinned subtree would run the encode+decode+phash Python kernel
         # twice per execution (same persist rationale as
         # benchmark_contamination's shingle frame)
         .persist()
     )
-
-    def band_key(b):
-        return F.shiftrightunsigned("phash", b * _PHASH_BAND_BITS).bitwiseAND(
-            F.lit((1 << _PHASH_BAND_BITS) - 1)
-        )
-
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_key(b).cast("int").alias("key"))
-            for b in range(_PHASH_BANDS)
-        ]
-    )
-    index = ph.select("doc_id", "phash", F.explode(bands).alias("bk")).select(
-        "doc_id", "phash", "bk.band", "bk.key"
-    )
-    probe = index.select(
-        "doc_id",
-        "phash",
-        "band",
-        "key",
-        F.explode(F.array(*[F.lit(m) for m in _PHASH_PROBE_MASKS])).alias("mask"),
-    ).select(
-        "doc_id", "phash", "band", F.col("key").bitwiseXOR(F.col("mask")).alias("key")
-    )
-    # probe ⋈ index on (band, key): doc_id inequality orients each pair
-    # once; distinct collapses multi-band / multi-probe hits before the
-    # popcount so each candidate pair is scored exactly once
-    cand = (
-        probe.alias("a")
-        .join(
-            index.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.key") == F.col("b.key"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
+    return (
+        _mih_pairs(ph, _PHASH_PAIR_TAU)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.phash").alias("pa"),
-            F.col("b.phash").alias("pb"),
+            F.col("gid_a").alias("doc_a"), F.col("gid_b").alias("doc_b"), "hamming"
         )
-        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_FRAME_OVERLAP_TAU = 14
+
+# Full DuckDB replica — pytest-gated (the 50-slot driver window is full;
+# rotation policy, __spark_entry__.py), written in the driver's dialect so
+# it rotates in verbatim. Brute-force all-frame-pairs: the banding is
+# lossless at tau=14 (< 23), so the oracle needs no banding replica.
+_FRAME_OVERLAP_ORACLE_SQL = f"""
+    WITH g AS (SELECT f.doc_id, f.frame_idx, f.phash
+               FROM '{_GOLDEN_DIR}/video_frames.parquet' f
+               JOIN documents d ON f.doc_id = d.doc_id)
+    SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+           COUNT(*) AS n_frame_pairs,
+           CAST(MIN(bit_count(xor(a.phash, b.phash))) AS INT) AS min_hamming
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {_FRAME_OVERLAP_TAU}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+@q(
+    "video_frame_overlap",
+    None,  # pytest-oracled via _FRAME_OVERLAP_ORACLE_SQL (window full)
+    "cross-video content-overlap detection: demux + sample frames "
+    "(video_frame_sample's kernel), then every cross-video frame pair "
+    f"within phash Hamming {_FRAME_OVERLAP_TAU} via the same lossless "
+    "multi-index join as image_phash_neardup_pairs, aggregated to one row "
+    "per video pair (shared-frame count + closest distance) — the "
+    "shared-scene/duplicate-clip screen a multimodal corpus runs before "
+    "training. Same-video frame pairs are excluded structurally (the MIH "
+    "join orients on video id).",
+)
+def video_frame_overlap(spark, sf_dir):
+    frames = (
+        video_frame_sample(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("gid"),
+            F.col("frame_idx").alias("item"),
+            "phash",
+        )
+        # 2 plan references through the self-join; unpinned would demux +
+        # decode every video twice
+        .persist()
     )
     return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+        _mih_pairs(frames, _FRAME_OVERLAP_TAU)
+        .groupBy("gid_a", "gid_b")
+        .agg(
+            F.count("*").alias("n_frame_pairs"),
+            F.min("hamming").alias("min_hamming"),
         )
-        .filter(F.col("hamming") <= _PHASH_PAIR_TAU)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+        .select(
+            F.col("gid_a").alias("video_a"),
+            F.col("gid_b").alias("video_b"),
+            "n_frame_pairs",
+            "min_hamming",
+        )
+        .orderBy("video_a", "video_b")
     )
