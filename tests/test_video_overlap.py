@@ -24,3 +24,44 @@ def test_video_overlap_oracle_replica(spark):
     # sanity on the aggregation semantics
     for _, _, n_pairs, min_h in got:
         assert n_pairs >= 1 and 0 <= min_h <= 14
+
+
+def test_mih_layout_lossless_across_tau():
+    """Pigeonhole coverage verified empirically on the real golden phashes
+    for several tau, including the low-tau regime the 16-bit band-width
+    floor exists for: EVERY pair within tau must share at least one band
+    within radius 2 of the tau-derived layout."""
+    import duckdb
+
+    from visiblev8_crawler_spark.plans.imageops import _mih_layout
+
+    hashes = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            "SELECT phash FROM '/root/repo/goldens/image_stats.parquet' "
+            "ORDER BY doc_id LIMIT 1500"
+        )
+        .fetchall()
+    ]
+
+    def covered(a, b, tau):
+        for sh, bits in _mih_layout(tau):
+            m = (1 << bits) - 1
+            if bin(((a >> sh) & m) ^ ((b >> sh) & m)).count("1") <= 2:
+                return True
+        return False
+
+    for tau in (5, 11, 14, 16, 23):
+        lay = _mih_layout(tau)
+        assert len(lay) * 3 - 1 >= tau
+        assert all(b <= 16 for _, b in lay) and sum(b for _, b in lay) == 64
+        n_checked = 0
+        for i in range(len(hashes)):
+            for j in range(i + 1, len(hashes)):
+                a, b = hashes[i] & (2**64 - 1), hashes[j] & (2**64 - 1)
+                if bin(a ^ b).count("1") <= tau:
+                    n_checked += 1
+                    assert covered(a, b, tau), (tau, hex(a), hex(b))
+        if tau >= 14:
+            assert n_checked > 0, f"no pairs within tau={tau} — vacuous"

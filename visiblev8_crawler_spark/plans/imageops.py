@@ -410,7 +410,13 @@ def _mih_layout(tau: int, radius: int = 2) -> list[tuple[int, int]]:
     round-5 first cut used 8x8-bit bands; at 15k hashes that is ~58 rows
     per (band,key) bucket and ~250M candidate rows — re-parameterizing to
     the bound cut it ~40x with the same lossless guarantee."""
-    m = -(-(tau + 1) // (radius + 1))
+    # band count: the pigeonhole minimum, floored at 4 so no band exceeds
+    # 16 bits — wider bands would overflow the int mask/key columns
+    # (1<<31 masks, signed-int band keys) and buy nothing: occupancy
+    # n/2^16 is already O(1) for any corpus the sandbox can hold, and at
+    # 10^9+ hashes the minimum m dominates anyway. The floor keeps the
+    # bound: m>=4, r=2 -> lossless to 11 even for tiny tau.
+    m = max(-(-(tau + 1) // (radius + 1)), 4)
     base, extra = divmod(64, m)
     out, shift = [], 0
     for i in range(m):
@@ -436,8 +442,9 @@ def _mih_pairs(hashes, tau: int):
     frames); item distinguishes rows within a gid. Returns
     (gid_a, item_a, gid_b, item_b, hamming) with gid_a < gid_b and
     hamming <= tau — EVERY such pair: the band layout is derived from tau
-    so the pigeonhole bound m*(radius+1)-1 >= tau always holds (see
-    _mih_layout)."""
+    so the pigeonhole bound m*(radius+1)-1 >= tau always holds, for ANY
+    tau in [0, 23] (see _mih_layout; above 23 the radius-2 probes cannot
+    cover 64 bits and the assert below fires)."""
     layout = _mih_layout(tau)
     assert len(layout) * 3 - 1 >= tau, "pigeonhole bound violated"
 
@@ -524,11 +531,12 @@ def _mih_pairs(hashes, tau: int):
     """,
     "multimodal near-dup detection: all image pairs within phash Hamming "
     f"distance {_PHASH_PAIR_TAU} via multi-index hashing — "
-    "LOSSLESS banding (pigeonhole over 8x8-bit bands with radius-2 probes "
-    "covers every pair to distance 23), so the oracle is the brute-force "
+    "LOSSLESS banding (pigeonhole: 6 bands of 10-11 bits with radius-2 "
+    "probes cover every pair to distance 17 >= tau), so the oracle is the brute-force "
     "all-pairs SQL and parity proves the pruning exact, not approximately "
-    "recalled. Scale shape: index side 8 rows/doc, probe side 296 rows/doc "
-    "(8 bands x 37 neighbors), one bucketed equi-join on (band, key) + "
+    "recalled. Scale shape: index side m rows/doc, probe side "
+    "m*(1+bits+C(bits,2)) rows/doc (~390 at tau=16) via a broadcast mask "
+    "dimension, one bucketed equi-join on (band, key) + "
     "distinct pairs + an 8-byte XOR popcount — candidate cost is bucket "
     "occupancy, never n^2; the image-payload twin of "
     "embedding_lsh_neardup_pairs with a provable-completeness upgrade. "
@@ -561,8 +569,10 @@ _FRAME_OVERLAP_TAU = 14
 
 # Full DuckDB replica — pytest-gated (the 50-slot driver window is full;
 # rotation policy, __spark_entry__.py), written in the driver's dialect so
-# it rotates in verbatim. Brute-force all-frame-pairs: the banding is
-# lossless at tau=14 (< 23), so the oracle needs no banding replica.
+# it rotates in verbatim. Brute-force all-frame-pairs: the 5-band layout's
+# pigeonhole bound is exactly 14 = tau (zero slack — a tau bump must
+# re-derive the layout, which _mih_layout does), so the oracle needs no
+# banding replica.
 _FRAME_OVERLAP_ORACLE_SQL = f"""
     WITH g AS (SELECT f.doc_id, f.frame_idx, f.phash
                FROM '{_GOLDEN_DIR}/video_frames.parquet' f
