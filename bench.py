@@ -76,6 +76,7 @@ EXTRA = [
     "doc_pii_scrub",
     "image_phash_neardup_pairs",
     "video_frame_overlap",
+    "doc_neardup_canonicalize",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

@@ -152,3 +152,53 @@ def test_pii_scrub_planted_documents(spark):
     # near-misses stay: 4-digit first octet fails \b\d{1,3}\., bare foo@bar
     # has no dotted TLD
     assert not out[6]["has_pii"] and out[6]["scrubbed"] == rows[5][1]
+
+
+def test_canonicalize_oracle_replica(spark):
+    """doc_neardup_canonicalize's DuckDB replica (rotation policy: new
+    operators are pytest-oracled for their first round, driver-oracled
+    next). Full-corpus keeper mapping, exact row equality."""
+    from visiblev8_crawler_spark.plans.textops import _CANONICALIZE_ORACLE_SQL
+
+    got = [
+        tuple(r)
+        for r in QUERIES["doc_neardup_canonicalize"].spark(spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(_CANONICALIZE_ORACLE_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    assert got == want
+    # the mapping is well-formed: every keeper is kept, keepers map to self
+    by_id = {r[0]: r for r in got}
+    for doc_id, component, keeper_id, kept, csize in got:
+        assert by_id[keeper_id][3] == 1  # keeper row flagged kept
+        assert by_id[keeper_id][2] == keeper_id  # keeper maps to itself
+        assert kept == (1 if doc_id == keeper_id else 0)
+
+
+def test_canonicalize_planted_cluster(spark):
+    """Semantics, not just parity: two verbatim-duplicate docs must land in
+    one cluster with the LONGER one (by n_chars) as keeper; an unrelated
+    doc stays a singleton keeping itself."""
+    import os
+    import tempfile
+
+    from visiblev8_crawler_spark.plans.textops import doc_neardup_canonicalize
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, body, "en", "synthetic", 10),   # duplicate, shorter
+        (2, body, "en", "synthetic", 99),   # duplicate, longer -> keeper
+        (3, "one two three four five six seven eight nine", "en", "synthetic", 45),
+    ]
+    d = tempfile.mkdtemp(prefix="canon_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in doc_neardup_canonicalize(spark, d).collect()}
+    assert out[1]["component"] == out[2]["component"] == 1
+    assert out[1]["keeper_id"] == out[2]["keeper_id"] == 2
+    assert out[1]["kept"] == 0 and out[2]["kept"] == 1
+    assert out[1]["csize"] == out[2]["csize"] == 2
+    assert out[3]["keeper_id"] == 3 and out[3]["kept"] == 1 and out[3]["csize"] == 1

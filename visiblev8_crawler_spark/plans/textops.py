@@ -936,3 +936,113 @@ def doc_pii_scrub(spark, sf_dir):
         scrubbed.alias("scrubbed"),
         (total > 0).alias("has_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup canonicalization: the dedup pipeline's final step
+# ---------------------------------------------------------------------------
+
+# Edges = MinHash-LSH candidate pairs agreeing on >= 2 of 4 bands: the
+# high-precision slice of the candidate set, so clusters are near-dup
+# groups, not bucket-collision noise.
+_CANON_MIN_BANDS = 2
+
+# Full DuckDB replica — NOT a driver oracle this round (rotation policy,
+# __spark_entry__.py: window pinned at 50, newest-in next round). Reuses
+# the minhash_lsh_pairs oracle verbatim as a nested derived table, then
+# replays the component closure with a recursive CTE and the keeper pick
+# with a window — same shape as the embedding_neardup_components oracle.
+_CANONICALIZE_ORACLE_SQL = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b
+              FROM ({QUERIES["minhash_lsh_pairs"].oracle})
+              WHERE n_shared_bands >= {_CANON_MIN_BANDS}),
+    edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+              UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
+    reach(v, l) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.v),
+    comp AS (SELECT v AS doc_id, MIN(l) AS component FROM reach GROUP BY v),
+    scored AS (SELECT c.doc_id, c.component, d.n_chars
+               FROM comp c JOIN documents d USING (doc_id)),
+    ranked AS (SELECT component, doc_id AS keeper_id,
+                      ROW_NUMBER() OVER (PARTITION BY component
+                                         ORDER BY n_chars DESC, doc_id) AS rn
+               FROM scored),
+    keeper AS (SELECT component, keeper_id FROM ranked WHERE rn = 1),
+    csz AS (SELECT component, COUNT(*) AS csize FROM scored GROUP BY component)
+    SELECT s.doc_id,
+           CAST(s.component AS BIGINT) AS component,
+           CAST(k.keeper_id AS BIGINT) AS keeper_id,
+           CAST(s.doc_id = k.keeper_id AS INT) AS kept,
+           CAST(z.csize AS BIGINT) AS csize
+    FROM scored s JOIN keeper k USING (component) JOIN csz z USING (component)
+    ORDER BY s.doc_id
+"""
+
+
+@q(
+    "doc_neardup_canonicalize",
+    None,  # pytest-oracled via _CANONICALIZE_ORACLE_SQL (rotation policy)
+    "Near-dup CANONICALIZATION — the step a dedup pipeline actually ships: "
+    "cluster the MinHash-LSH near-dup graph (>=2/4 shared bands -> "
+    "min-label connected components, reused from annops), then per cluster "
+    "keep ONE representative (longest doc by n_chars, ties -> lowest "
+    "doc_id) and map every member to its keeper. Output is the full-corpus "
+    "doc_id -> keeper_id mapping with kept/csize flags, i.e. exactly the "
+    "side table a training run joins against to drop duplicates while "
+    "retaining provenance. Scale shape: edges are the high-precision LSH "
+    "slice (not all candidates), components iterate in O(log n) "
+    "label-propagation rounds over edge-touched docs only, and the keeper "
+    "pick is ONE max_by groupBy on component (map-side partial agg) — no "
+    "window sort over the corpus. The final orderBy exists for oracle "
+    "determinism; a cluster consumer drops it. Reference analog: the "
+    "crawler's duplicate-script canonical-id pick (SURVEY §2 D2-D4 "
+    "composed)."
+)
+def doc_neardup_canonicalize(spark, sf_dir):
+    from .annops import min_label_components
+
+    pairs = (
+        QUERIES["minhash_lsh_pairs"]
+        .spark(spark, sf_dir)
+        .where(F.col("n_shared_bands") >= _CANON_MIN_BANDS)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        # the LSH pairs plan (shingle explode + 4-band self-join) feeds both
+        # endpoints and every propagation round: compute it exactly once
+        .localCheckpoint(eager=True)
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labels = docs.select(
+        F.col("doc_id").alias("vec_id"), F.col("doc_id").alias("component")
+    ).localCheckpoint(eager=True)
+    labels, rounds, converged = min_label_components(labels, edges)
+    if not converged:
+        raise RuntimeError(
+            f"canonicalize: component propagation did not converge in {rounds} rounds"
+        )
+    comp = labels.select(F.col("vec_id").alias("doc_id"), "component")
+    scored = comp.join(docs, "doc_id")
+    keeper = scored.groupBy("component").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("tie")),
+        ).alias("keeper_id"),
+        F.count("*").alias("csize"),
+    )
+    return (
+        scored.join(keeper, "component")
+        .select(
+            "doc_id",
+            F.col("component").cast("long").alias("component"),
+            F.col("keeper_id").cast("long").alias("keeper_id"),
+            (F.col("doc_id") == F.col("keeper_id")).cast("int").alias("kept"),
+            F.col("csize").cast("long").alias("csize"),
+        )
+        .orderBy("doc_id")
+    )
