@@ -627,3 +627,145 @@ def min_label_components(labels, edges, extra_rounds: int = 2):
 )
 def embedding_neardup_pairs(spark, sf_dir):
     return _banded_neardup_spark(spark, sf_dir, bands=4, r=4, tau=0.30)
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse-quantizer TRAINING: spherical k-means (Lloyd)
+# ---------------------------------------------------------------------------
+
+_KMEANS_K_IDS = _IVF_CENTROID_IDS  # deterministic init = the same 4 seed rows
+# fixed Lloyd budget (the faiss-style niter): on near-uniform synthetic
+# data k-means drifts in tiny steps far past usefulness, so the budget is
+# the stop on this corpus; the shift tolerance is the exact early-stop for
+# clustered data (assignments frozen -> shift collapses to ulp scale)
+_KMEANS_MAX_ROUNDS = 10
+_KMEANS_TOL = 1e-9  # max centroid coordinate shift; exact-stable stop
+
+
+def _kmeans_train(spark, sf_dir):
+    """Run spherical k-means over the embeddings table; returns
+    (centroids: list[list[float]] unit-norm, rounds, assignments DataFrame
+    (vec_id, cid) for the FINAL centroids).
+
+    Scale shape (the part that matters at 10^9 vectors):
+    - centroids live on the DRIVER (K x D = 4 x 64 doubles) and are inlined
+      as literal arrays each round — assignment is a map-only columnar
+      argmax, zero exchanges, identical machinery to embedding_ivf_topk.
+    - the update step is ONE groupBy(cid) with D avg() columns over the
+      unit-normalized vectors (spherical mean) — partial aggregation makes
+      the shuffle K x D x #partitions, independent of corpus size; no
+      explode, no window.
+    - each round is one action collecting exactly K rows; convergence =
+      max abs centroid shift < tol, checked driver-side for free.
+    Float caveat: avg() partial-combine order is nondeterministic, so
+    centroid coordinates are reproducible only to last-ulp; outputs are
+    rounded and the pytest gate compares against a numpy replica with a
+    1e-6 tolerance instead of a value hash.
+    """
+    import math
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed_rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(*_KMEANS_K_IDS)).collect()
+    }
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    cents = [unit(seed_rows[i]) for i in sorted(seed_rows)]
+    dim = len(cents[0])
+    ue = F.transform(
+        F.col("embedding"),
+        lambda x: x.cast("double") / _norm(F.col("embedding")),
+    )
+    base = emb.select("vec_id", ue.alias("ue")).localCheckpoint(eager=True)
+
+    def assign_col(centroids):
+        # argmax over K cosine columns via struct array_max: (cos, -cid)
+        # lexicographic max == highest cosine, lowest cid on tie — the same
+        # tie rule the IVF oracle uses (ROW_NUMBER ... cos DESC, cid ASC)
+        cand = []
+        for ci, ce in enumerate(centroids):
+            lit_ce = F.array(*[F.lit(x) for x in ce])
+            cos_c = _dot(F.col("ue"), lit_ce)  # both unit-norm: dot == cosine
+            cand.append(F.struct(cos_c.alias("c"), F.lit(-ci).alias("negcid")))
+        return (-F.array_max(F.array(*cand))["negcid"]).cast("long")
+
+    rounds = 0
+    for _ in range(_KMEANS_MAX_ROUNDS):
+        rounds += 1
+        upd = (
+            base.withColumn("cid", assign_col(cents))
+            .groupBy("cid")
+            .agg(*[F.avg(F.col("ue")[d]).alias(f"d{d}") for d in range(dim)])
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in upd:  # empty clusters keep their old centroid
+            new_cents[r["cid"]] = unit([r[f"d{d}"] for d in range(dim)])
+        shift = max(
+            abs(a - b) for nc, oc in zip(new_cents, cents) for a, b in zip(nc, oc)
+        )
+        cents = new_cents
+        if shift < _KMEANS_TOL:
+            break
+    return cents, rounds, base.withColumn("cid", assign_col(cents)).select(
+        "vec_id", "cid"
+    )
+
+
+@q(
+    "embedding_kmeans_train",
+    None,  # floats through an iterative fixpoint: numpy-replica pytest gate
+           # (tolerance 1e-6 + identical assignments), not a value hash
+    "IVF coarse-quantizer TRAINING — spherical k-means (Lloyd) with "
+    "deterministic seed rows, closing the loop on embedding_ivf_topk's "
+    "'pretrained' centroids: assignment is the same map-only literal-array "
+    "argmax (zero exchanges), the update is one groupBy(cid) with D avg "
+    "columns (shuffle size K*D*partitions, corpus-size independent), "
+    "centroids stay driver-side (K*D doubles), convergence = centroid "
+    "shift < 1e-9. Returns per-cluster size + mean member cosine + the "
+    "rounded centroid. The k-means-on-MapReduce shape every IVF/PQ index "
+    "build uses at 10^9 vectors.",
+)
+def embedding_kmeans_train(spark, sf_dir):
+    cents, rounds, assign = _kmeans_train(spark, sf_dir)
+    dim = len(cents[0])
+    lit_cents = [F.array(*[F.lit(x) for x in ce]) for ce in cents]
+    cos_to_own = None
+    for ci, lc in enumerate(lit_cents):
+        c = _dot(F.col("ue"), lc)
+        cos_to_own = (
+            F.when(F.col("cid") == ci, c) if cos_to_own is None
+            else cos_to_own.when(F.col("cid") == ci, c)
+        )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ue = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") / _norm(F.col("embedding"))
+    )
+    scored = (
+        emb.select("vec_id", ue.alias("ue"))
+        .join(assign, "vec_id")
+        .withColumn("own_cos", cos_to_own)
+    )
+    out = (
+        scored.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("own_cos"), 4).alias("mean_cos"),
+        )
+        .withColumn("rounds", F.lit(rounds).cast("long"))
+    )
+    cent_lookup = {ci: [round(x, 6) for x in ce] for ci, ce in enumerate(cents)}
+    cent_df = spark.createDataFrame(
+        [(ci, v) for ci, v in cent_lookup.items()], "cid long, centroid array<double>"
+    )
+    return (
+        out.join(F.broadcast(cent_df), "cid")
+        .select(
+            F.col("cid").alias("cluster"), "n_members", "mean_cos", "rounds", "centroid"
+        )
+        .orderBy("cluster")
+    )
