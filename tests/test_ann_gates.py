@@ -136,3 +136,47 @@ def test_multiprobe_recall_floor(spark):
     recs = [r["r"] for r in per_q]
     mean = sum(recs) / len(recs)
     assert mean >= 0.50, f"multiprobe mean recall@10 {mean:.3f} (panel {sorted(recs)})"
+
+
+def test_quantize_int8_oracle_replica(spark):
+    """embedding_quantize_int8's DuckDB replica (rotation policy: driver
+    window entry next round). Integer outputs -> exact equality."""
+    import re
+
+    import duckdb
+
+    from visiblev8_crawler_spark.plans import annops
+
+    got = [
+        (r["vec_id"], r["scale_nano"], list(r["q"]), r["max_err_micro"])
+        for r in QUERIES["embedding_quantize_int8"].spark(spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    want = [
+        (r[0], r[1], list(r[2]), r[3])
+        for r in con.execute(annops._QUANT_ORACLE_SQL).fetchall()
+    ]
+    assert len(got) == len(want) > 0
+    assert got == want
+    # semantics: symmetric int8 quantization's error bound is scale/2
+    for vec_id, scale_nano, q_arr, err_micro in got:
+        assert all(-127 <= x <= 127 for x in q_arr)
+        assert max(abs(x) for x in q_arr) == 127  # scale saturates one elem
+        # err_micro = floor(err*1e6); bound with 1 micro-unit slack
+        assert err_micro * 1e3 <= scale_nano / 2 + 1e3
+
+
+def test_quantize_int8_map_only(spark):
+    """Zero hash exchanges: the only Exchange is the rangepartitioning of
+    the determinism orderBy."""
+    p = (
+        QUERIES["embedding_quantize_int8"]
+        .spark(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange hashpartitioning") == 0, p

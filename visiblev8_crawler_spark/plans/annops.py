@@ -769,3 +769,72 @@ def embedding_kmeans_train(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization: int8 storage compression for the embedding column
+# ---------------------------------------------------------------------------
+
+# Rounding is floor(x + 0.5) SPELLED OUT in all three engines (Spark plan,
+# DuckDB oracle, Python replica): round() half-rule conventions differ
+# across engines (HALF_UP vs half-even), and a tie at exactly .5 would
+# silently diverge. floor(x+0.5) is one deterministic rule everywhere.
+_QUANT_ORACLE_SQL = """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS scale
+      FROM embeddings),
+    qz AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> CAST(greatest(-127, least(127,
+                 floor(x / scale + 0.5))) AS INT)) AS q
+      FROM s)
+    SELECT vec_id, CAST(floor(scale * 1e9) AS BIGINT) AS scale_nano, q,
+           CAST(floor(list_max(list_transform(list_zip(e, q),
+                 p -> abs(p[1] - p[2] * scale))) * 1e6) AS BIGINT) AS max_err_micro
+    FROM qz ORDER BY vec_id
+"""
+
+
+@q(
+    "embedding_quantize_int8",
+    None,  # pytest-oracled via _QUANT_ORACLE_SQL (rotation policy:
+           # new operators enter the driver window next round)
+    "int8 SCALAR QUANTIZATION of the embedding column — the 4x storage/"
+    "bandwidth compression an ANN serving tier applies before indexing "
+    "(per-vector symmetric: scale = max|x|/127, q = clamp(floor(x/scale"
+    "+0.5))). Map-only JVM higher-order functions in one projection: zero "
+    "exchanges, zero Python; emits the per-vector dequantization error "
+    "so the quality bound (<= scale/2 + fp noise) is data, not hope. "
+    "All rounding is explicit floor() — engine round() half-rules "
+    "diverge, and max_abs_err sits adversarially AT the half boundary "
+    "(it approaches scale/2 by construction), so float outputs are "
+    "emitted as floor-truncated integer nano/micro units instead.",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
+    q_arr = F.transform(
+        e,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x / F.col("scale") + F.lit(0.5))),
+        ).cast("int"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            e, F.col("q"), lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale"))
+        )
+    )
+    return (
+        emb.withColumn("scale", scale)
+        .withColumn("q", q_arr)
+        .select(
+            "vec_id",
+            F.floor(F.col("scale") * F.lit(1e9)).cast("long").alias("scale_nano"),
+            "q",
+            F.floor(err * F.lit(1e6)).cast("long").alias("max_err_micro"),
+        )
+        .orderBy("vec_id")
+    )
