@@ -180,3 +180,28 @@ def test_quantize_int8_map_only(spark):
         .toString()
     )
     assert p.count("Exchange hashpartitioning") == 0, p
+
+
+def test_quantized_topk_replica_and_recall(spark):
+    """embedding_quantized_topk: DuckDB replica exact-match (integer math
+    until one rounded division), plus the quality gate — int8 ranking must
+    recover >= 9 of the exact float top-10 (measured: 10/10)."""
+    import duckdb
+
+    from visiblev8_crawler_spark.plans import annops
+
+    got = [
+        tuple(r)
+        for r in QUERIES["embedding_quantized_topk"].spark(spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(annops._QUANT_TOPK_ORACLE_SQL).fetchall()]
+    assert got == want and len(got) == 10
+    exact_ids = {
+        r["vec_id"]
+        for r in QUERIES["embedding_cosine_topk"].spark(spark, SF_DIR).collect()
+    }
+    assert len({g[0] for g in got} & exact_ids) >= 9

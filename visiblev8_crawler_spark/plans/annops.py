@@ -838,3 +838,81 @@ def embedding_quantize_int8(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# Serving over the quantized index: cosine is scale-free (q = x/s elementwise
+# up to rounding), so ranking quantized vectors needs ONLY integer dot
+# products — sa*sb cancels between numerator and the norms. Exact integer
+# arithmetic in both engines; the single double division + round happens
+# once at output.
+_QUANT_TOPK_ORACLE_SQL = f"""
+    WITH s AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[], x ->
+               CAST(greatest(-127, least(127, floor(x /
+                 (list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127)
+                 + 0.5))) AS BIGINT)) AS q
+      FROM embeddings),
+    qv AS (SELECT q AS qq FROM s WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT v.vec_id, v.label,
+           ROUND(list_dot_product(v.q, qv.qq)
+                 / (sqrt(list_dot_product(v.q, v.q)) * sqrt(list_dot_product(qv.qq, qv.qq))),
+                 6) AS qcos
+    FROM s v, qv
+    WHERE v.vec_id != {_QUERY_VEC_ID}
+    ORDER BY qcos DESC, v.vec_id ASC LIMIT 10
+"""
+
+
+@q(
+    "embedding_quantized_topk",
+    None,  # pytest-oracled via _QUANT_TOPK_ORACLE_SQL + recall-vs-exact gate
+    "ANN SERVING over the int8-quantized index — brute-force cosine top-k "
+    "computed entirely on the quantized representation: cosine is "
+    "scale-invariant, so the per-vector scales cancel and the hot loop is "
+    "integer dot products (the 4x-smaller index is also the 4x-cheaper "
+    "scan; on SIMD hardware int8 dot is the fast path every serving "
+    "engine uses). Exact integer arithmetic until one final division — "
+    "cross-engine reproducible by construction. Recall@10 vs the exact "
+    "float top-k is CI-gated (test_ann_gates.py); TakeOrderedAndProject, "
+    "no full sort.",
+)
+def embedding_quantized_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
+    q_arr = F.transform(
+        e,
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5)))
+        ).cast("long"),
+    )
+    qd = emb.select("vec_id", "label", q_arr.alias("q"))
+    qq = [
+        int(x)
+        for x in qd.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["q"]
+    ]
+    lit_q = F.array(*[F.lit(x) for x in qq])
+    qn = float(sum(x * x for x in qq)) ** 0.5
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), lit_q, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inorm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    return (
+        qd.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "label",
+            F.round(idot.cast("double") / (inorm * F.lit(qn)), 6).alias("qcos"),
+        )
+        .orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
