@@ -77,6 +77,8 @@ EXTRA = [
     "image_phash_neardup_pairs",
     "video_frame_overlap",
     "doc_neardup_canonicalize",
+    "events_asof_join",
+    "events_range_join",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

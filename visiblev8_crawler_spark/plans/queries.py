@@ -589,3 +589,167 @@ def union_distinct_hosts(spark, sf_dir):
         F.col("source").alias("src"), F.lit("docs").alias("via")
     )
     return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# As-of join + range join (round 5): the two inequality-join shapes Spark
+# has no native operator for, each re-expressed as a shuffle-minimal plan
+# ---------------------------------------------------------------------------
+
+# Tie rules, spelled out because both engines must agree exactly:
+# - as-of match is INCLUSIVE (ref.ts <= probe.ts); at equal ts the ref
+#   sorts before the probe (is_probe ascending), among equal-ts refs the
+#   highest event_id wins (sort key (ts, is_probe, event_id), last value).
+# - gap is exact integer microseconds (epoch_us difference) — no float.
+_ASOF_ORACLE_SQL = """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 0 AS is_probe FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 FROM events WHERE event_type = 'purchase'),
+    w AS (
+      SELECT user_id, ts, event_id, is_probe,
+             LAST_VALUE(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+                     ROWS UNBOUNDED PRECEDING) AS click_id,
+             LAST_VALUE(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+                     ROWS UNBOUNDED PRECEDING) AS click_ts
+      FROM tagged)
+    SELECT event_id, user_id, click_id,
+           CASE WHEN click_ts IS NOT NULL
+                THEN epoch_us(ts) - epoch_us(click_ts) END AS gap_micros
+    FROM w WHERE is_probe = 1 ORDER BY event_id
+"""
+
+
+@q(
+    "events_asof_join",
+    None,  # pytest-oracled via _ASOF_ORACLE_SQL (rotation policy: driver
+           # window entry next round)
+    "AS-OF JOIN — each purchase matched to the latest click at-or-before "
+    "it for the same user (the trade⋈quote shape Spark lacks natively). "
+    "NOT a join at all in this plan: both sides union into one tagged "
+    "relation, ONE shuffle on user_id, one sort by (ts, tag, id), and "
+    "last_value(ignorenulls) over an unbounded-preceding frame carries "
+    "the most recent ref forward — vs the naive inequality join, which "
+    "Spark executes as a per-user cross product. At 100 TB the shuffle "
+    "is the same one any per-user op pays; skewed users bound the sort, "
+    "not a quadratic blowup. Gap emitted as exact integer microseconds.",
+)
+def events_asof_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    refs = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_probe")
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_probe")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref_id = F.when(F.col("is_probe") == 0, F.col("event_id"))
+    ref_ts = F.when(F.col("is_probe") == 0, F.col("ts"))
+    return (
+        refs.unionByName(probes)
+        .withColumn("click_id", F.last(ref_id, ignorenulls=True).over(w))
+        .withColumn("click_ts", F.last(ref_ts, ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "click_id",
+            # ts is TIMESTAMP_NTZ: timestampdiff is the timezone-free exact
+            # integer difference (unix_micros would force a tz interpretation)
+            F.expr("timestampdiff(MICROSECOND, click_ts, ts)").alias("gap_micros"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_RANGE_WINDOW_S = 60
+
+# Window semantics: [probe.ts - 60s, probe.ts) — inclusive lower bound,
+# strict upper (the probe itself and same-instant events are excluded).
+# value aggregates as floor(value * 1e6) per ELEMENT before summing:
+# integer addition is order-independent, where a double sum would differ
+# in the last ulp between engines' partial-combine orders.
+_RANGE_JOIN_ORACLE_SQL = f"""
+    SELECT p.event_id, p.user_id,
+           COUNT(e.event_id) AS n_prior,
+           COALESCE(SUM(CAST(floor(e.value * 1e6) AS BIGINT)), 0) AS sum_value_micro
+    FROM events p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL {_RANGE_WINDOW_S} SECOND
+     AND e.ts < p.ts
+    WHERE p.event_type = 'error'
+    GROUP BY p.event_id, p.user_id
+    ORDER BY p.event_id
+"""
+
+
+@q(
+    "events_range_join",
+    None,  # pytest-oracled via _RANGE_JOIN_ORACLE_SQL (rotation policy)
+    "RANGE JOIN — per error event, count+sum all same-user events in the "
+    "preceding 60 s, via the BINNED band join (the strategy every engine "
+    "that lacks a native range join uses at scale): both sides key on "
+    "(user_id, floor(ts/60s)), probes explode into their bin and bin-1 "
+    "(2 rows each, probe side only), equi-join then exact window filter. "
+    "The oracle's inequality join is what Spark would naively run as a "
+    "per-user cross product; the binned plan is a plain hash equi-join "
+    "whose key cardinality grows with time span — skew-safe at 100 TB "
+    "because a user's events spread across bins. Sum is per-element "
+    "floor-micro integer so engine sum order cannot move the output.",
+)
+def events_range_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    bin_us = _RANGE_WINDOW_S * 1_000_000
+    # NTZ-safe absolute offset: micros since a fixed NTZ epoch (only ever
+    # used in differences/bins, so the epoch choice cancels)
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+    probes = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id"),
+            us.alias("p_us"),
+            F.floor(us / bin_us).alias("bin0"),
+        )
+        .withColumn("bin", F.explode(F.array(F.col("bin0") - 1, F.col("bin0"))))
+        .drop("bin0")
+    )
+    cands = ev.select(
+        "user_id",
+        us.alias("e_us"),
+        F.floor(us / bin_us).alias("bin"),
+        F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("v_micro"),
+    )
+    agg = (
+        probes.join(cands, ["user_id", "bin"])
+        .filter(
+            (F.col("e_us") >= F.col("p_us") - bin_us) & (F.col("e_us") < F.col("p_us"))
+        )
+        .groupBy(F.col("p_id").alias("event_id"), "user_id")
+        .agg(
+            F.count("*").alias("n_prior"),
+            F.sum("v_micro").alias("sum_value_micro"),
+        )
+    )
+    # LEFT-join semantics: probes whose bins held no candidate still appear
+    # with zero counts (the oracle's LEFT JOIN row)
+    all_probes = ev.filter(F.col("event_type") == "error").select("event_id", "user_id")
+    return (
+        all_probes.join(agg, ["event_id", "user_id"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_prior"), F.lit(0)).cast("long").alias("n_prior"),
+            F.coalesce(F.col("sum_value_micro"), F.lit(0))
+            .cast("long")
+            .alias("sum_value_micro"),
+        )
+        .orderBy("event_id")
+    )
