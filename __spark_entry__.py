@@ -56,6 +56,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (doc_pii_scrub stays pytest-gated this round: its output is the
     # identity transform on the PII-free synthetic corpus, so its hard
     # signal lives in the planted-document gate; next-in when eligible.)
+    #
+    # Round-5 LATE additions, all born pytest-oracled per the policy and
+    # queued newest-first for the round-6 rotation: doc_neardup_canonicalize,
+    # events_asof_join, events_range_join, embedding_quantize_int8,
+    # customer_rollup, docs_lang_pivot (full DuckDB replicas in tests/);
+    # embedding_quantized_topk (replica + recall gate);
+    # embedding_kmeans_train (iterative float fixpoint -> tolerance-gated
+    # python replica, stays outside the hash window by nature).
     reg = _registry()
     ordered = sorted(reg, key=lambda name: reg[name].oracle is None)
     return {name: reg[name].spark for name in ordered}

@@ -79,6 +79,10 @@ EXTRA = [
     "doc_neardup_canonicalize",
     "events_asof_join",
     "events_range_join",
+    "embedding_quantize_int8",
+    "embedding_quantized_topk",
+    "customer_rollup",
+    "docs_lang_pivot",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

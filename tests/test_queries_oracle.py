@@ -52,12 +52,23 @@ DEMOTED_ORACLES = {
     "semi_join_active_parts": "_SEMI_JOIN_ORACLE_SQL",
 }
 
+# Round-5 late additions, BORN outside the pinned 50-slot window (rotation
+# policy: newest-in next round). Same replica mechanism as the demotions;
+# ops with dedicated gate files (asof/range/canonicalize/quantize) are
+# replicated there instead.
+NEWBORN_ORACLES = {
+    "customer_rollup": "_ROLLUP_ORACLE_SQL",
+    "docs_lang_pivot": "_PIVOT_ORACLE_SQL",
+}
 
-@pytest.mark.parametrize("name", sorted(DEMOTED_ORACLES))
+REPLICA_ORACLES = {**DEMOTED_ORACLES, **NEWBORN_ORACLES}
+
+
+@pytest.mark.parametrize("name", sorted(REPLICA_ORACLES))
 def test_demoted_query_matches_pytest_oracle(spark, ddb, name):
     from visiblev8_crawler_spark.plans import queries as qmod
 
-    sql = getattr(qmod, DEMOTED_ORACLES[name])
+    sql = getattr(qmod, REPLICA_ORACLES[name])
     sdf = entry_mod.queries()[name](spark, SF_DIR)
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]

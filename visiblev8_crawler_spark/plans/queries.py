@@ -753,3 +753,113 @@ def events_range_join(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rollup + pivot (round 5): hierarchical and wide aggregation shapes
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE_SQL = """
+    SELECT COALESCE(r_name, '<ALL>') AS region,
+           COALESCE(n_name, '<ALL>') AS nation,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS lvl,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY lvl, region, nation
+"""
+
+
+@q(
+    "customer_rollup",
+    None,  # pytest-oracled via _ROLLUP_ORACLE_SQL (rotation policy)
+    "ROLLUP — hierarchical aggregation (nation ⊂ region ⊂ grand total) in "
+    "ONE pass: Spark's rollup() compiles to a single Expand + hash "
+    "aggregate, i.e. each input row fans into its 3 grouping sets before "
+    "the shuffle and partial aggregation still applies — the hypertable-"
+    "rollup shape, vs 3 separate scans+aggs. GROUPING() bits disambiguate "
+    "a real NULL key from a rollup subtotal; dimensions broadcast.",
+)
+def customer_rollup(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    joined = cust.join(
+        nation, cust.c_nationkey == nation.n_nationkey
+    ).join(region, nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") * 2 + F.grouping("n_name"))
+            .cast("int")
+            .alias("lvl"),
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<ALL>")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("<ALL>")).alias("nation"),
+            "lvl",
+            "n_cust",
+            "sum_bal",
+        )
+        .orderBy("lvl", "region", "nation")
+    )
+
+
+_PIVOT_LANGS = ("en", "de", "zh", "fr", "es")
+
+_PIVOT_ORACLE_SQL = f"""
+    SELECT source,
+           {", ".join(
+               f"CAST(COALESCE(SUM(CASE WHEN lang = '{l}' THEN 1 END), 0) AS BIGINT) AS n_{l}"
+               for l in _PIVOT_LANGS)},
+           CAST(SUM(CASE WHEN lang NOT IN {_PIVOT_LANGS} THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@q(
+    "docs_lang_pivot",
+    None,  # pytest-oracled via _PIVOT_ORACLE_SQL (rotation policy)
+    "PIVOT — long-to-wide: per-source language histogram as columns. "
+    "Spark's pivot() with an EXPLICIT value list compiles to one "
+    "hash aggregate with k conditional counts (no second job to discover "
+    "values, no second shuffle) — at 100 TB the value list must always "
+    "be declared for exactly this reason; the trailing n_other column "
+    "proves the explicit list loses no rows. Oracle is the portable "
+    "SUM(CASE) spelling of the same plan.",
+)
+def docs_lang_pivot(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    agged = (
+        docs.groupBy("source")
+        .pivot("lang", list(_PIVOT_LANGS))
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside Pivot
+    )
+    for lang in _PIVOT_LANGS:
+        agged = agged.withColumnRenamed(lang, f"tmp_{lang}")
+    other = (
+        docs.filter(~F.col("lang").isin(*_PIVOT_LANGS))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_other_raw"))
+    )
+    return (
+        agged.join(other, "source", "left")
+        .select(
+            "source",
+            *[
+                F.coalesce(F.col(f"tmp_{lang}"), F.lit(0))
+                .cast("long")
+                .alias(f"n_{lang}")
+                for lang in _PIVOT_LANGS
+            ],
+            F.coalesce(F.col("n_other_raw"), F.lit(0)).cast("long").alias("n_other"),
+        )
+        .orderBy("source")
+    )
