@@ -141,8 +141,6 @@ def test_multiprobe_recall_floor(spark):
 def test_quantize_int8_oracle_replica(spark):
     """embedding_quantize_int8's DuckDB replica (rotation policy: driver
     window entry next round). Integer outputs -> exact equality."""
-    import re
-
     import duckdb
 
     from visiblev8_crawler_spark.plans import annops
@@ -183,9 +181,10 @@ def test_quantize_int8_map_only(spark):
 
 
 def test_quantized_topk_replica_and_recall(spark):
-    """embedding_quantized_topk: DuckDB replica exact-match (integer math
-    until one rounded division), plus the quality gate — int8 ranking must
-    recover >= 9 of the exact float top-10 (measured: 10/10)."""
+    """embedding_quantized_topk: DuckDB replica exact-match (integer math;
+    the one division floor-truncates to micro units over in-engine IEEE
+    sqrts), plus the quality gate — int8 ranking must recover >= 9 of the
+    exact float top-10 (measured: 10/10)."""
     import duckdb
 
     from visiblev8_crawler_spark.plans import annops
@@ -205,3 +204,34 @@ def test_quantized_topk_replica_and_recall(spark):
         for r in QUERIES["embedding_cosine_topk"].spark(spark, SF_DIR).collect()
     }
     assert len({g[0] for g in got} & exact_ids) >= 9
+
+
+def test_quantize_zero_vector_planted(spark):
+    """All-zero embedding: scale guard quantizes it to exact zeros with
+    zero error (no NULL poisoning), and the serving query excludes it
+    from ranking (cosine undefined) instead of emitting NULLs."""
+    import os
+    import tempfile
+
+    from visiblev8_crawler_spark.plans.annops import (
+        embedding_quantize_int8,
+        embedding_quantized_topk,
+    )
+
+    dim = 8
+    rows = [
+        (0, [1.0] + [0.5] * (dim - 1), 0),   # the query vector
+        (1, [0.0] * dim, 0),                  # all-zero
+        (2, [0.9] + [0.4] * (dim - 1), 1),
+        (3, [-0.9] + [0.4] * (dim - 1), 2),
+    ]
+    d = tempfile.mkdtemp(prefix="qzero_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    quant = {r["vec_id"]: r for r in embedding_quantize_int8(spark, d).collect()}
+    assert list(quant[1]["q"]) == [0] * dim
+    assert quant[1]["scale_nano"] == 10**9 and quant[1]["max_err_micro"] == 0
+    assert max(abs(x) for x in quant[2]["q"]) == 127
+    ranked = [r["vec_id"] for r in embedding_quantized_topk(spark, d).collect()]
+    assert 1 not in ranked and ranked == [2, 3]

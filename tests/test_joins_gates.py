@@ -95,3 +95,39 @@ def test_range_join_plan_is_equi_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_pivot_null_keys_planted(spark):
+    """NULL source must form its own group and NULL lang must count into
+    n_other — the single-scan bucketed pivot cannot lose either (the
+    failure mode of a non-null-safe second-scan join)."""
+    from visiblev8_crawler_spark.plans.queries import (
+        _PIVOT_ORACLE_SQL,
+        docs_lang_pivot,
+    )
+
+    rows = [
+        (1, "a", "en", "web", 10),
+        (2, "b", None, "web", 10),      # NULL lang -> n_other
+        (3, "c", "xx", None, 10),       # NULL source group, unlisted lang
+        (4, "d", "de", None, 10),       # NULL source group, listed lang
+    ]
+    d = tempfile.mkdtemp(prefix="pivot_")
+    path = os.path.join(d, "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(path)
+    # repr key: None is not orderable against str
+    got = sorted(
+        (tuple(r) for r in docs_lang_pivot(spark, d).collect()), key=repr
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    want = sorted(
+        (tuple(r) for r in con.execute(_PIVOT_ORACLE_SQL).fetchall()), key=repr
+    )
+    assert got == want
+    by_src = {r[0]: r for r in got}
+    assert by_src["web"][-1] == 1          # the NULL-lang doc
+    assert by_src[None][-1] == 1           # the unlisted-lang doc
+    assert by_src[None][2] == 1            # n_de in the NULL-source group

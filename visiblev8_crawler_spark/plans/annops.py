@@ -780,10 +780,13 @@ def embedding_kmeans_train(spark, sf_dir):
 # across engines (HALF_UP vs half-even), and a tie at exactly .5 would
 # silently diverge. floor(x+0.5) is one deterministic rule everywhere.
 _QUANT_ORACLE_SQL = """
-    WITH s AS (
+    WITH s0 AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
-             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS scale
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS rawscale
       FROM embeddings),
+    s AS (  -- all-zero vector: scale 0 would NULL-poison x/scale; quantize to zeros
+      SELECT vec_id, e, CASE WHEN rawscale = 0 THEN 1 ELSE rawscale END AS scale
+      FROM s0),
     qz AS (
       SELECT vec_id, e, scale,
              list_transform(e, x -> CAST(greatest(-127, least(127,
@@ -814,7 +817,10 @@ _QUANT_ORACLE_SQL = """
 def embedding_quantize_int8(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
+    rawscale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
+    # all-zero vector: scale 0 would NULL-poison x/scale (both engines);
+    # scale 1 quantizes it to exact zeros with zero error (unit() convention)
+    scale = F.when(rawscale == 0, F.lit(1.0)).otherwise(rawscale)
     q_arr = F.transform(
         e,
         lambda x: F.greatest(
@@ -850,17 +856,19 @@ _QUANT_TOPK_ORACLE_SQL = f"""
       SELECT vec_id, label,
              list_transform(embedding::DOUBLE[], x ->
                CAST(greatest(-127, least(127, floor(x /
-                 (list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127)
+                 (CASE WHEN list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) = 0
+                       THEN 1
+                       ELSE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127 END)
                  + 0.5))) AS BIGINT)) AS q
       FROM embeddings),
     qv AS (SELECT q AS qq FROM s WHERE vec_id = {_QUERY_VEC_ID})
     SELECT v.vec_id, v.label,
-           ROUND(list_dot_product(v.q, qv.qq)
-                 / (sqrt(list_dot_product(v.q, v.q)) * sqrt(list_dot_product(qv.qq, qv.qq))),
-                 6) AS qcos
+           CAST(floor(list_dot_product(v.q, qv.qq) * 1e6
+                 / (sqrt(list_dot_product(v.q, v.q)) * sqrt(list_dot_product(qv.qq, qv.qq))))
+                AS BIGINT) AS qcos_micro
     FROM s v, qv
-    WHERE v.vec_id != {_QUERY_VEC_ID}
-    ORDER BY qcos DESC, v.vec_id ASC LIMIT 10
+    WHERE v.vec_id != {_QUERY_VEC_ID} AND list_dot_product(v.q, v.q) > 0
+    ORDER BY qcos_micro DESC, v.vec_id ASC LIMIT 10
 """
 
 
@@ -872,15 +880,19 @@ _QUANT_TOPK_ORACLE_SQL = f"""
     "scale-invariant, so the per-vector scales cancel and the hot loop is "
     "integer dot products (the 4x-smaller index is also the 4x-cheaper "
     "scan; on SIMD hardware int8 dot is the fast path every serving "
-    "engine uses). Exact integer arithmetic until one final division — "
-    "cross-engine reproducible by construction. Recall@10 vs the exact "
-    "float top-k is CI-gated (test_ann_gates.py); TakeOrderedAndProject, "
-    "no full sort.",
+    "engine uses). Exact integer arithmetic until one division whose "
+    "operands are IEEE sqrt of exact integers computed IN each engine — "
+    "then floor-truncated to integer micro units (PLANS.md §11 rule: "
+    "engine round() half-rules diverge, floor on bit-identical doubles "
+    "cannot). All-zero vectors quantize to zeros and are excluded from "
+    "ranking (cosine undefined). Recall@10 vs the exact float top-k is "
+    "CI-gated (test_ann_gates.py); TakeOrderedAndProject, no full sort.",
 )
 def embedding_quantized_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
+    rawscale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
+    scale = F.when(rawscale == 0, F.lit(1.0)).otherwise(rawscale)
     q_arr = F.transform(
         e,
         lambda x: F.greatest(
@@ -893,26 +905,34 @@ def embedding_quantized_topk(spark, sf_dir):
         for x in qd.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["q"]
     ]
     lit_q = F.array(*[F.lit(x) for x in qq])
-    qn = float(sum(x * x for x in qq)) ** 0.5
+    # exact integer norm^2, sqrt'ed IN-ENGINE (IEEE sqrt is correctly
+    # rounded, so bit-identical to DuckDB's; python **0.5 is pow, not sqrt)
+    qn2 = int(sum(x * x for x in qq))
     idot = F.aggregate(
         F.zip_with(F.col("q"), lit_q, lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    inorm = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).cast("double")
+    inorm2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     return (
         qd.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .withColumn("inorm2", inorm2)
+        .filter(F.col("inorm2") > 0)  # all-zero vector: cosine undefined
         .select(
             "vec_id",
             "label",
-            F.round(idot.cast("double") / (inorm * F.lit(qn)), 6).alias("qcos"),
+            F.floor(
+                idot.cast("double")
+                * F.lit(1e6)
+                / (F.sqrt(F.col("inorm2").cast("double")) * F.sqrt(F.lit(float(qn2))))
+            )
+            .cast("long")
+            .alias("qcos_micro"),
         )
-        .orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
+        .orderBy(F.col("qcos_micro").desc(), F.col("vec_id").asc())
         .limit(10)
     )

@@ -817,7 +817,7 @@ _PIVOT_ORACLE_SQL = f"""
            {", ".join(
                f"CAST(COALESCE(SUM(CASE WHEN lang = '{l}' THEN 1 END), 0) AS BIGINT) AS n_{l}"
                for l in _PIVOT_LANGS)},
-           CAST(SUM(CASE WHEN lang NOT IN {_PIVOT_LANGS} THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+           CAST(SUM(CASE WHEN lang IN {_PIVOT_LANGS} THEN 0 ELSE 1 END) AS BIGINT) AS n_other
     FROM documents
     GROUP BY source
     ORDER BY source
@@ -831,35 +831,28 @@ _PIVOT_ORACLE_SQL = f"""
     "Spark's pivot() with an EXPLICIT value list compiles to one "
     "hash aggregate with k conditional counts (no second job to discover "
     "values, no second shuffle) — at 100 TB the value list must always "
-    "be declared for exactly this reason; the trailing n_other column "
-    "proves the explicit list loses no rows. Oracle is the portable "
-    "SUM(CASE) spelling of the same plan.",
+    "be declared for exactly this reason. Unlisted (and NULL) languages "
+    "pre-map into an 'other' bucket IN the pivot column, so the "
+    "completeness column rides the SAME single scan+aggregate instead of "
+    "a second scan + join (and NULL keys can never fall through a "
+    "non-null-safe join). Oracle is the portable SUM(CASE) spelling.",
 )
 def docs_lang_pivot(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("lang").isin(*_PIVOT_LANGS), F.col("lang")).otherwise("other")
+    )
     agged = (
-        docs.groupBy("source")
-        .pivot("lang", list(_PIVOT_LANGS))
+        docs.withColumn("bucket", bucket)
+        .groupBy("source")
+        .pivot("bucket", [*_PIVOT_LANGS, "other"])
         .agg(F.count(F.lit(1)))  # count("*") is rejected inside Pivot
     )
-    for lang in _PIVOT_LANGS:
-        agged = agged.withColumnRenamed(lang, f"tmp_{lang}")
-    other = (
-        docs.filter(~F.col("lang").isin(*_PIVOT_LANGS))
-        .groupBy("source")
-        .agg(F.count("*").alias("n_other_raw"))
-    )
-    return (
-        agged.join(other, "source", "left")
-        .select(
-            "source",
-            *[
-                F.coalesce(F.col(f"tmp_{lang}"), F.lit(0))
-                .cast("long")
-                .alias(f"n_{lang}")
-                for lang in _PIVOT_LANGS
-            ],
-            F.coalesce(F.col("n_other_raw"), F.lit(0)).cast("long").alias("n_other"),
-        )
-        .orderBy("source")
-    )
+    return agged.select(
+        "source",
+        *[
+            F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(f"n_{lang}")
+            for lang in _PIVOT_LANGS
+        ],
+        F.coalesce(F.col("other"), F.lit(0)).cast("long").alias("n_other"),
+    ).orderBy("source")
