@@ -60,10 +60,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round-5 LATE additions, all born pytest-oracled per the policy and
     # queued newest-first for the round-6 rotation: doc_neardup_canonicalize,
     # events_asof_join, events_range_join, embedding_quantize_int8,
-    # customer_rollup, docs_lang_pivot (full DuckDB replicas in tests/);
-    # embedding_quantized_topk (replica + recall gate);
-    # embedding_kmeans_train (iterative float fixpoint -> tolerance-gated
-    # python replica, stays outside the hash window by nature).
+    # customer_rollup, docs_lang_pivot, events_funnel,
+    # orders_retention_cohort, minhash_lsh_pairs_incremental (full DuckDB
+    # replicas in tests/; the incremental op additionally carries a
+    # full-recompute equivalence gate); embedding_quantized_topk (replica +
+    # recall gate); embedding_kmeans_train (iterative float fixpoint ->
+    # tolerance-gated python replica, stays outside the hash window by
+    # nature).
     reg = _registry()
     ordered = sorted(reg, key=lambda name: reg[name].oracle is None)
     return {name: reg[name].spark for name in ordered}

@@ -83,6 +83,9 @@ EXTRA = [
     "embedding_quantized_topk",
     "customer_rollup",
     "docs_lang_pivot",
+    "events_funnel",
+    "orders_retention_cohort",
+    "minhash_lsh_pairs_incremental",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

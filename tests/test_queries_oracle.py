@@ -59,6 +59,8 @@ DEMOTED_ORACLES = {
 NEWBORN_ORACLES = {
     "customer_rollup": "_ROLLUP_ORACLE_SQL",
     "docs_lang_pivot": "_PIVOT_ORACLE_SQL",
+    "events_funnel": "_FUNNEL_ORACLE_SQL",
+    "orders_retention_cohort": "_COHORT_ORACLE_SQL",
 }
 
 REPLICA_ORACLES = {**DEMOTED_ORACLES, **NEWBORN_ORACLES}

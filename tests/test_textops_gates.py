@@ -202,3 +202,65 @@ def test_canonicalize_planted_cluster(spark):
     assert out[1]["kept"] == 0 and out[2]["kept"] == 1
     assert out[1]["csize"] == out[2]["csize"] == 2
     assert out[3]["keeper_id"] == 3 and out[3]["kept"] == 1 and out[3]["csize"] == 1
+
+
+def test_lsh_incremental_oracle_replica(spark):
+    from visiblev8_crawler_spark.plans.textops import _LSH_INCR_ORACLE_SQL
+
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["minhash_lsh_pairs_incremental"].spark(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.execute(_LSH_INCR_ORACLE_SQL).fetchall())
+    assert len(got) > 0
+    assert got == want
+
+
+def test_lsh_incremental_equals_full_restricted(spark):
+    """The incremental path's contract: exactly the full-recompute pairs
+    that touch the delta (doc_b = max of pair, so doc_b >= cursor <=> the
+    pair involves at least one new doc) — no pair invented, none lost."""
+    from pyspark.sql import functions as F
+
+    full = QUERIES["minhash_lsh_pairs"].spark(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cursor = (docs.agg(F.max("doc_id")).collect()[0][0] + 1) * 8 // 10
+    want = sorted(tuple(r) for r in full.filter(F.col("doc_b") >= cursor).collect())
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["minhash_lsh_pairs_incremental"].spark(spark, SF_DIR).collect()
+    )
+    assert got == want
+
+
+def test_lsh_incremental_planted_delta_dup(spark):
+    """Semantics: a delta doc that verbatim-duplicates an old-corpus doc
+    must surface as an all-bands pair (old_id, new_id); an unrelated delta
+    doc must pair with nothing."""
+    import os
+    import tempfile
+
+    from visiblev8_crawler_spark.plans.textops import minhash_lsh_pairs_incremental
+
+    # 10 docs, cursor = (9+1)*8//10 = 8 -> ids 8,9 are the delta
+    base = [
+        (i, f"unique words for document number {i} body {i * 7} tail {i * 13}")
+        for i in range(8)
+    ]
+    rows = base + [
+        (8, base[3][1]),                       # delta dup of old doc 3
+        (9, "nothing shares these tokens at all zzz qqq xxx"),
+    ]
+    d = tempfile.mkdtemp(prefix="lshincr_")
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in minhash_lsh_pairs_incremental(spark, d).collect()
+    }
+    assert pairs.get((3, 8)) == 4, pairs  # identical text -> all 4 bands
+    assert not any(9 in p for p in pairs), pairs

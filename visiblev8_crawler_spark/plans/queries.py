@@ -856,3 +856,180 @@ def docs_lang_pivot(spark, sf_dir):
         ],
         F.coalesce(F.col("other"), F.lit(0)).cast("long").alias("n_other"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Funnel + cohort (round 5, late additions): the two sequential-behavior
+# shapes every events warehouse runs, each kept to ONE shuffle on its
+# entity key
+# ---------------------------------------------------------------------------
+
+# Stage semantics (both engines must agree exactly): t1 = MIN ts of a
+# 'view'; t2 = MIN 'click' ts STRICTLY after t1; t3 = MIN 'purchase' ts
+# strictly after t2. pct is basis points vs stage 1, floor-truncated
+# (PLANS.md §11 float rule).
+_FUNNEL_ORACLE_SQL = """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+    n AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+                 (SELECT COUNT(*) FROM s2) AS n2,
+                 (SELECT COUNT(*) FROM s3) AS n3)
+    SELECT stage, n_users,
+           CAST(floor(n_users * 10000.0 / NULLIF(n1, 0)) AS BIGINT) AS pct_of_first_bp
+    FROM (SELECT '1_view' AS stage, n1 AS n_users, n1 FROM n
+          UNION ALL SELECT '2_click', n2, n1 FROM n
+          UNION ALL SELECT '3_purchase', n3, n1 FROM n)
+    ORDER BY stage
+"""
+
+
+@q(
+    "events_funnel",
+    None,  # pytest-oracled via _FUNNEL_ORACLE_SQL (rotation policy: newborn)
+    "ORDERED FUNNEL (view -> click -> purchase): the sequential-pattern "
+    "shape whose naive SQL is k-1 correlated self-joins — each a shuffle "
+    "and a skew hazard. This plan pays ONE shuffle (groupBy user_id, "
+    "collect_list) and folds each user's time-sorted events through a "
+    "3-slot struct accumulator with F.aggregate — a pure Catalyst "
+    "expression, codegen'd JVM-side, no UDF. Per-user state is 3 longs; "
+    "the array is bounded by per-user event count (the same bound "
+    "sessionization already accepts). At 100 TB, k more stages cost zero "
+    "extra shuffles — the correlated-join spelling costs k more.",
+)
+def events_funnel(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    stage = (
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2)
+    )
+    # ts is TIMESTAMP_NTZ: timestampdiff vs a fixed NTZ epoch is the
+    # timezone-free exact integer microsecond (PLANS.md §12 note)
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", us.alias("us"), stage.alias("s"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("us", "s"))).alias("evs"))
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+        F.lit(None).cast("long").alias("t3"),
+    )
+
+    def step(acc, x):
+        # array is (ts, stage)-sorted, so the first qualifying hit IS the
+        # min; strict > matches the oracle's e.ts > t_prev
+        return F.struct(
+            F.when(acc["t1"].isNull() & (x["s"] == 0), x["us"])
+            .otherwise(acc["t1"])
+            .alias("t1"),
+            F.when(
+                acc["t2"].isNull()
+                & acc["t1"].isNotNull()
+                & (x["s"] == 1)
+                & (x["us"] > acc["t1"]),
+                x["us"],
+            )
+            .otherwise(acc["t2"])
+            .alias("t2"),
+            F.when(
+                acc["t3"].isNull()
+                & acc["t2"].isNotNull()
+                & (x["s"] == 2)
+                & (x["us"] > acc["t2"]),
+                x["us"],
+            )
+            .otherwise(acc["t3"])
+            .alias("t3"),
+        )
+
+    counts = (
+        per_user.select(F.aggregate("evs", init, step).alias("r"))
+        .agg(
+            F.sum(F.col("r.t1").isNotNull().cast("long")).alias("n1"),
+            F.sum(F.col("r.t2").isNotNull().cast("long")).alias("n2"),
+            F.sum(F.col("r.t3").isNotNull().cast("long")).alias("n3"),
+        )
+    )
+    stages = F.array(
+        F.struct(F.lit("1_view").alias("stage"), F.col("n1").alias("n_users")),
+        F.struct(F.lit("2_click").alias("stage"), F.col("n2").alias("n_users")),
+        F.struct(F.lit("3_purchase").alias("stage"), F.col("n3").alias("n_users")),
+    )
+    return (
+        counts.select("n1", F.explode(stages).alias("x"))
+        .select(
+            F.col("x.stage").alias("stage"),
+            F.col("x.n_users").alias("n_users"),
+            F.floor(
+                F.col("x.n_users") * 10000 / F.nullif(F.col("n1"), F.lit(0))
+            )
+            .cast("long")
+            .alias("pct_of_first_bp"),
+        )
+        .orderBy("stage")
+    )
+
+
+# Month key: ym = year*12 + month - 1 (exact integer, timezone-free on
+# TIMESTAMP_NTZ); cohort_ym renders back to yyyymm for readability.
+_COHORT_ORACLE_SQL = """
+    WITH m AS (SELECT o_custkey,
+                      (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) * 12
+                       + CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) - 1) AS ym
+               FROM orders),
+    g AS (SELECT o_custkey, MIN(ym) AS cm FROM m GROUP BY o_custkey),
+    a AS (SELECT DISTINCT o_custkey, ym FROM m)
+    SELECT CAST((g.cm // 12) * 100 + (g.cm % 12) + 1 AS BIGINT) AS cohort_ym,
+           CAST(a.ym - g.cm AS BIGINT) AS month_offset,
+           COUNT(*) AS n_customers
+    FROM a JOIN g ON a.o_custkey = g.o_custkey
+    GROUP BY 1, 2
+    ORDER BY cohort_ym, month_offset
+"""
+
+
+@q(
+    "orders_retention_cohort",
+    None,  # pytest-oracled via _COHORT_ORACLE_SQL (rotation policy: newborn)
+    "RETENTION COHORT matrix (month of first order x months-since): the "
+    "oracle's spelling is first-order agg JOIN distinct-activity — two "
+    "scans and a customer-keyed join. This plan is ONE scan and ONE "
+    "shuffle: groupBy customer collects (min month, distinct-month set) "
+    "together, then explodes the set into (cohort, offset) cells for a "
+    "second, cells-sized aggregate — count(*) IS count(distinct customer) "
+    "because the set made rows unique per (customer, month). At 100 TB "
+    "the customer shuffle is the only data-sized exchange; the cell agg "
+    "is bounded by months^2, not rows.",
+)
+def orders_retention_cohort(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    ym = (
+        F.year("o_orderdate").cast("long") * 12
+        + F.month("o_orderdate").cast("long")
+        - 1
+    )
+    per_cust = (
+        o.select("o_custkey", ym.alias("ym"))
+        .groupBy("o_custkey")
+        .agg(F.min("ym").alias("cm"), F.collect_set("ym").alias("months"))
+    )
+    cells = per_cust.select("cm", F.explode("months").alias("am"))
+    return (
+        cells.groupBy(
+            (F.floor(F.col("cm") / 12) * 100 + F.col("cm") % 12 + 1)
+            .cast("long")
+            .alias("cohort_ym"),
+            (F.col("am") - F.col("cm")).cast("long").alias("month_offset"),
+        )
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("cohort_ym", "month_offset")
+    )
