@@ -86,6 +86,7 @@ EXTRA = [
     "events_funnel",
     "orders_retention_cohort",
     "minhash_lsh_pairs_incremental",
+    "embedding_lsh_neardup_pairs_incremental",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

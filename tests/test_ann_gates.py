@@ -235,3 +235,77 @@ def test_quantize_zero_vector_planted(spark):
     assert max(abs(x) for x in quant[2]["q"]) == 127
     ranked = [r["vec_id"] for r in embedding_quantized_topk(spark, d).collect()]
     assert 1 not in ranked and ranked == [2, 3]
+
+
+def test_embedding_neardup_incremental_oracle_replica(spark):
+    """embedding_lsh_neardup_pairs_incremental is born pytest-oracled
+    (rotation policy, __spark_entry__.py): same DuckDB engine, same SQL a
+    driver oracle would run."""
+    import duckdb
+
+    from visiblev8_crawler_spark.plans.annops import _NEARDUP_INCR_ORACLE_SQL
+
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["embedding_lsh_neardup_pairs_incremental"]
+        .spark(spark, SF_DIR)
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(_NEARDUP_INCR_ORACLE_SQL).fetchall())
+    assert len(got) > 0
+    assert got == want
+
+
+def test_embedding_neardup_incremental_equals_full_restricted(spark):
+    """Contract: exactly the full-recompute pairs touching the delta
+    (vec_b = max of pair, so vec_b >= cursor <=> at least one side is
+    new) — no pair invented by the broadcast-probe plan, none lost."""
+    full = QUERIES["embedding_lsh_neardup_pairs"].spark(spark, SF_DIR)
+    emb = load(spark, SF_DIR, "embeddings")
+    cursor = (emb.agg(F.max("vec_id")).collect()[0][0] + 1) * 8 // 10
+    want = sorted(tuple(r) for r in full.filter(F.col("vec_b") >= cursor).collect())
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["embedding_lsh_neardup_pairs_incremental"]
+        .spark(spark, SF_DIR)
+        .collect()
+    )
+    assert got == want
+
+
+def test_embedding_neardup_incremental_planted_delta_dup(spark):
+    """Semantics on a planted world: a delta vector that duplicates an
+    old-corpus vector must surface as (old_id, new_id) at cosine 1.0; a
+    delta vector orthogonal/antipodal to everything must pair with
+    nothing. Walsh-function rows are exactly orthogonal, so every
+    non-planted cosine is 0 or -1 — far below tau=0.30."""
+    import os
+    import tempfile
+
+    from visiblev8_crawler_spark.plans.annops import (
+        _DIM,
+        embedding_lsh_neardup_pairs_incremental,
+    )
+
+    def walsh(i):
+        return [
+            1.0 if bin(i & k).count("1") % 2 == 0 else -1.0 for k in range(_DIM)
+        ]
+
+    # 10 vectors, cursor = (9+1)*8//10 = 8 -> ids 8,9 are the delta
+    rows = [(i, walsh(i), 0) for i in range(8)]
+    rows.append((8, walsh(3), 0))                      # delta dup of old vec 3
+    rows.append((9, [-x for x in walsh(3)], 0))        # antipodal to 3 and 8
+    d = tempfile.mkdtemp(prefix="nbincr_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_lsh_neardup_pairs_incremental(spark, d).collect()
+    }
+    assert pairs == {(3, 8): 1.0}, pairs

@@ -386,9 +386,10 @@ def _sig_sql(v: str, axes: list[int]) -> str:
     )
 
 
-def _banded_neardup_spark(spark, sf_dir, bands: int, r: int, tau: float) -> DataFrame:
+def _band_ids(emb: DataFrame, bands: int, r: int) -> DataFrame:
+    """(vec_id, band, sig) bucket entries — the id-only relation the
+    two-phase neardup plan shuffles (see _banded_neardup_spark)."""
     axes = _band_axes(bands, r)
-    emb = load(spark, sf_dir, "embeddings")
     band_structs = F.array(
         *[
             F.struct(
@@ -398,33 +399,14 @@ def _banded_neardup_spark(spark, sf_dir, bands: int, r: int, tau: float) -> Data
             for i in range(bands)
         ]
     )
-    # Two-phase plan (round-4 rewrite, measured 2.1x at sf0.1: 3.34->1.61 s
-    # for the bands=4/r=4 edge generation that dominates
-    # embedding_neardup_components):
-    # 1. the band-bucket self-join runs over (band, sig, vec_id) ONLY —
-    #    shuffling 8-byte ids instead of the ~520-byte embedding+norm rows
-    #    the old wide join moved through the bucket exchange (that shuffle
-    #    was ~60% of the whole query). distinct() then collapses multi-band
-    #    collisions BEFORE scoring, so each candidate pair is scored once,
-    #    not once per colliding band.
-    # 2. embeddings (+ norms, still computed once per vector map-side, NOT
-    #    per pair) join back by vec_id — an equi-join Catalyst can
-    #    co-partition with the embeddings table's own layout at cluster
-    #    scale — and the exact cosine filter runs per distinct pair. Same
-    #    _dot/_norm expressions over the same values as before, so the
-    #    emitted cosines (and the oracle hash) are bit-identical; the old
-    #    post-scoring distinct() is subsumed by the pre-scoring pair
-    #    distinct (a pair colliding in >1 band had one rounded cosine).
-    ids = emb.select("vec_id", F.explode(band_structs).alias("bs")).select(
+    return emb.select("vec_id", F.explode(band_structs).alias("bs")).select(
         "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    cand = (
-        ids.select(F.col("vec_id").alias("vec_a"), "band", "sig")
-        .join(ids.select(F.col("vec_id").alias("vec_b"), "band", "sig"), ["band", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+
+
+def _score_pairs(emb: DataFrame, cand: DataFrame, tau: float) -> DataFrame:
+    """Join embeddings back onto distinct (vec_a, vec_b) candidates and
+    emit exact-cosine pairs >= tau (norms computed once per vector)."""
     ev = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     ea = ev.select(
         F.col("vec_id").alias("vec_a"),
@@ -444,6 +426,36 @@ def _banded_neardup_spark(spark, sf_dir, bands: int, r: int, tau: float) -> Data
         .filter(F.col("cos_raw") >= tau)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def _banded_neardup_spark(spark, sf_dir, bands: int, r: int, tau: float) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    # Two-phase plan (round-4 rewrite, measured 2.1x at sf0.1: 3.34->1.61 s
+    # for the bands=4/r=4 edge generation that dominates
+    # embedding_neardup_components):
+    # 1. the band-bucket self-join runs over (band, sig, vec_id) ONLY —
+    #    shuffling 8-byte ids instead of the ~520-byte embedding+norm rows
+    #    the old wide join moved through the bucket exchange (that shuffle
+    #    was ~60% of the whole query). distinct() then collapses multi-band
+    #    collisions BEFORE scoring, so each candidate pair is scored once,
+    #    not once per colliding band.
+    # 2. embeddings (+ norms, still computed once per vector map-side, NOT
+    #    per pair) join back by vec_id — an equi-join Catalyst can
+    #    co-partition with the embeddings table's own layout at cluster
+    #    scale — and the exact cosine filter runs per distinct pair. Same
+    #    _dot/_norm expressions over the same values as before, so the
+    #    emitted cosines (and the oracle hash) are bit-identical; the old
+    #    post-scoring distinct() is subsumed by the pre-scoring pair
+    #    distinct (a pair colliding in >1 band had one rounded cosine).
+    ids = _band_ids(emb, bands, r)
+    cand = (
+        ids.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+        .join(ids.select(F.col("vec_id").alias("vec_b"), "band", "sig"), ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    return _score_pairs(emb, cand, tau)
 
 
 def _banded_neardup_sql(bands: int, r: int, tau: float) -> str:
@@ -473,6 +485,63 @@ def _banded_neardup_sql(bands: int, r: int, tau: float) -> str:
 )
 def embedding_lsh_neardup_pairs(spark, sf_dir):
     return _banded_neardup_spark(spark, sf_dir, bands=8, r=6, tau=0.30)
+
+
+# Incremental cursor, same convention as minhash_lsh_pairs_incremental
+# (textops.py): top 20% of vec_ids stand in for the ingest delta;
+# (max+1)*8//10 is exact integer math in both engines. The SPEC is simply
+# the full recompute restricted to delta-touching pairs (vec_b = max of
+# the pair, so vec_b >= cursor <=> at least one side is new) — the Spark
+# plan must reach it via the delta-probe join structure, and the
+# equivalence gate in test_ann_gates.py proves it does.
+_NEARDUP_INCR_ORACLE_SQL = f"""
+    SELECT * FROM ({_banded_neardup_sql(bands=8, r=6, tau=0.30)})
+    WHERE vec_b >= (SELECT (MAX(vec_id) + 1) * 8 // 10 FROM embeddings)
+"""
+
+
+@q(
+    "embedding_lsh_neardup_pairs_incremental",
+    None,  # pytest-oracled via _NEARDUP_INCR_ORACLE_SQL + full-recompute
+           # equivalence (rotation policy: newborn, driver window next round)
+    "INCREMENTAL embedding near-dup — the vector twin of "
+    "minhash_lsh_pairs_incremental: only the ingest delta's bucket "
+    "entries are computed fresh and BROADCAST against the corpus index "
+    "(derived in-plan here, a stored table in production), plus a "
+    "delta self-join for new x new; exact cosine scores only the "
+    "candidate pairs. At 100 TB this is the per-batch dedup step of the "
+    "embedding ingest loop: the index side never reshuffles, fresh "
+    "compute and broadcast are both delta-sized. Equal to the full "
+    "recompute restricted to delta-touching pairs — CI-gated.",
+)
+def embedding_lsh_neardup_pairs_incremental(spark, sf_dir):
+    bands, r, tau = 8, 6, 0.30
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cursor = (int(max_id) + 1) * 8 // 10
+    # delta filtered BEFORE the band explode; persisted because it feeds
+    # three joins (index probe + both self-join sides)
+    idn = _band_ids(emb.filter(F.col("vec_id") >= cursor), bands, r).persist()
+    ido = _band_ids(emb.filter(F.col("vec_id") < cursor), bands, r)
+    new_old = (
+        ido.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+        .join(
+            F.broadcast(idn.select(F.col("vec_id").alias("vec_b"), "band", "sig")),
+            ["band", "sig"],
+        )
+        .select("vec_a", "vec_b")
+    )
+    new_new = (
+        idn.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+        .join(
+            F.broadcast(idn.select(F.col("vec_id").alias("vec_b"), "band", "sig")),
+            ["band", "sig"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    cand = new_old.unionByName(new_new).distinct()
+    return _score_pairs(emb, cand, tau)
 
 
 @q(
