@@ -202,3 +202,26 @@ def test_gopher_repetition_map_only(spark):
     assert p.count("Window") == 0, p
     assert "Aggregate" not in p, p
     assert p.count("Scan parquet") == 1, p
+
+
+def test_incremental_dedup_broadcasts_delta_only(spark):
+    """PLANS.md §13: the incremental dedup ops probe the corpus index by
+    BROADCASTING the delta's bucket entries (index-probe join + delta
+    self-join — the two hinted joins), and nothing else. With the
+    auto-broadcast threshold disabled, any surviving BroadcastHashJoin is
+    a hint, so the count pins the shape: exactly the 2 delta broadcasts;
+    the unhinted joins (embedding score-back) may shuffle, but no
+    nested-loop or cartesian fallback is tolerated."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in (
+            "minhash_lsh_pairs_incremental",
+            "embedding_lsh_neardup_pairs_incremental",
+        ):
+            p = _plan(entry_mod.queries()[name](spark, SF_DIR))
+            assert p.count("BroadcastHashJoin") == 2, (name, p)
+            assert "BroadcastNestedLoopJoin" not in p, (name, p)
+            assert "CartesianProduct" not in p, (name, p)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
