@@ -62,8 +62,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events_asof_join, events_range_join, embedding_quantize_int8,
     # customer_rollup, docs_lang_pivot, events_funnel,
     # orders_retention_cohort, minhash_lsh_pairs_incremental,
-    # embedding_lsh_neardup_pairs_incremental (full DuckDB
-    # replicas in tests/; the incremental ops additionally carry
+    # embedding_lsh_neardup_pairs_incremental, doc_duplicate_spans,
+    # doc_scrub_duplicate_spans (full
+    # DuckDB replicas in tests/; the incremental ops additionally carry
     # full-recompute equivalence gates); embedding_quantized_topk (replica +
     # recall gate); embedding_kmeans_train (iterative float fixpoint ->
     # tolerance-gated python replica, stays outside the hash window by

@@ -87,6 +87,8 @@ EXTRA = [
     "orders_retention_cohort",
     "minhash_lsh_pairs_incremental",
     "embedding_lsh_neardup_pairs_incremental",
+    "doc_duplicate_spans",
+    "doc_scrub_duplicate_spans",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

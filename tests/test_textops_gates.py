@@ -264,3 +264,104 @@ def test_lsh_incremental_planted_delta_dup(spark):
     }
     assert pairs.get((3, 8)) == 4, pairs  # identical text -> all 4 bands
     assert not any(9 in p for p in pairs), pairs
+
+
+def test_duplicate_spans_oracle_replica(spark):
+    """doc_duplicate_spans is born pytest-oracled (rotation policy):
+    same DuckDB engine, same SQL a driver oracle would run."""
+    from visiblev8_crawler_spark.plans.textops import _DUPSPAN_ORACLE_SQL
+
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in QUERIES["doc_duplicate_spans"].spark(spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(_DUPSPAN_ORACLE_SQL).fetchall()]
+    assert len(got) > 0
+    assert got == want
+
+
+def test_duplicate_spans_planted(spark):
+    """Semantics on a planted world: a 7-token passage shared by two docs
+    yields one maximal span per doc at the right offsets; a back-to-back
+    within-doc repeat merges into one span (adjacency, gap == n); a
+    spaced within-doc repeat splits into two (gap > n); a doc with no
+    repeated 5-gram emits nothing."""
+    import os
+    import tempfile
+
+    from visiblev8_crawler_spark.plans.textops import doc_duplicate_spans
+
+    shared = "c1 c2 c3 c4 c5 c6 c7"
+    rows = [
+        (0, f"u1 u2 {shared} u3"),                    # passage at tokens 3..9
+        (1, f"v1 {shared} v2 v3"),                    # passage at tokens 2..8
+        (2, "w1 w2 w3 w4 w5 w6"),                     # nothing duplicated
+        (3, "r1 r2 r3 r4 r5 m r1 r2 r3 r4 r5"),      # spaced repeat: 2 spans
+        (4, "s1 s2 s3 s4 s5 s1 s2 s3 s4 s5"),        # adjacent repeat: 1 span
+    ]
+    d = tempfile.mkdtemp(prefix="dupspan_")
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in doc_duplicate_spans(spark, d).collect()
+    ]
+    assert got == [
+        (0, 3, 9, 7),
+        (1, 2, 8, 7),
+        (3, 1, 5, 5),
+        (3, 7, 11, 5),
+        (4, 1, 10, 10),
+    ], got
+
+
+def test_scrub_duplicate_spans_oracle_replica(spark):
+    from visiblev8_crawler_spark.plans.textops import _SCRUB_SPANS_ORACLE_SQL
+
+    got = [
+        (r["doc_id"], r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in QUERIES["doc_scrub_duplicate_spans"].spark(spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(_SCRUB_SPANS_ORACLE_SQL).fetchall()]
+    assert len(got) > 0
+    assert sum(r[3] for r in got) > 0  # the scrub must actually remove tokens
+    assert got == want
+
+
+def test_scrub_duplicate_spans_planted(spark):
+    """The planted dupspan world, scrubbed: shared passages excised from
+    both docs, untouched docs pass through verbatim with n_removed=0, a
+    fully-duplicated doc collapses to the empty string."""
+    import os
+    import tempfile
+
+    from visiblev8_crawler_spark.plans.textops import doc_scrub_duplicate_spans
+
+    shared = "c1 c2 c3 c4 c5 c6 c7"
+    rows = [
+        (0, f"u1 u2 {shared} u3"),
+        (1, f"v1 {shared} v2 v3"),
+        (2, "w1 w2 w3 w4 w5 w6"),
+        (3, "s1 s2 s3 s4 s5 s1 s2 s3 s4 s5"),   # one merged span = whole doc
+    ]
+    d = tempfile.mkdtemp(prefix="scrubspan_")
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = [
+        (r["doc_id"], r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in doc_scrub_duplicate_spans(spark, d).collect()
+    ]
+    assert got == [
+        (0, "u1 u2 u3", 10, 7),
+        (1, "v1 v2 v3", 10, 7),
+        (2, "w1 w2 w3 w4 w5 w6", 6, 0),
+        (3, "", 10, 10),
+    ], got

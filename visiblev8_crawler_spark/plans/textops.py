@@ -1140,3 +1140,162 @@ def doc_neardup_canonicalize(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span detection (suffix-array dedup, n-gram formulation)
+# ---------------------------------------------------------------------------
+
+_DUPSPAN_N = 5
+
+# Born pytest-oracled (rotation policy, __spark_entry__.py): run verbatim
+# by tests/test_textops_gates.py against the same parquet.
+_DUPSPAN_ORACLE_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, i AS pos,
+                 array_to_string(toks[i:i+{_DUPSPAN_N}-1], ' ') AS gram
+          FROM t, UNNEST(generate_series(1, len(toks) - {_DUPSPAN_N} + 1)) AS u(i)
+          WHERE len(toks) >= {_DUPSPAN_N}),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+    isl AS (SELECT doc_id, pos,
+                   SUM(CASE WHEN pos > prev + {_DUPSPAN_N} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM (SELECT doc_id, pos,
+                         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                  FROM hits))
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) + {_DUPSPAN_N} - 1 AS span_end,
+           MAX(pos) + {_DUPSPAN_N} - MIN(pos) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+"""
+
+
+@q(
+    "doc_duplicate_spans",
+    None,  # pytest-oracled via _DUPSPAN_ORACLE_SQL (newborn-oracle queue)
+    "Exact duplicated-span detection — the n-gram formulation of "
+    "suffix-array training-data dedup (find every maximal token span that "
+    "occurs verbatim >=2 times anywhere in the corpus, the step that "
+    "removes boilerplate/licence blocks before training): positional "
+    f"{_DUPSPAN_N}-grams, total-occurrence df>=2, overlapping/adjacent hit "
+    "positions merged per doc into maximal [span_start, span_end] token "
+    "ranges via gaps-and-islands. One gram-keyed shuffle (the df "
+    "aggregate) + a left-semi join bucketed on the same key + per-doc "
+    "windows bounded by doc length; at 100 TB the gram goes through the "
+    "shuffle as xxhash64 like benchmark_contamination's hash_shingles "
+    "path, and the dup relation is output-sized, not corpus-sized.",
+)
+def doc_duplicate_spans(spark, sf_dir):
+    from pyspark.sql import Window
+
+    n = _DUPSPAN_N
+    d = _with_tokens(load(spark, sf_dir, "documents")).filter(F.col("n_tokens") >= n)
+    # positional grams; persisted because the relation feeds both the df
+    # aggregate and the hit semi-join (the ngram_jaccard re-scan trap)
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.concat_ws(" ", F.slice("toks", i, n)).alias("gram"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    g = g.persist()
+    dup = g.groupBy("gram").count().filter(F.col("count") >= 2).select("gram")
+    hits = g.join(dup, "gram", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # equal-length sorted intervals [pos, pos+n): running max end is
+    # lag(pos)+n, so a new island starts exactly when pos > lag(pos)+n
+    # (NULL lag -> otherwise-0, first hit opens island 0 in both engines)
+    isl = (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_isl", F.when(F.col("pos") > F.col("prev") + n, 1).otherwise(0)
+        )
+        .withColumn("island", F.sum("new_isl").over(w))
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+# Born pytest-oracled (rotation policy). The NOT EXISTS spelling is
+# version-proof DuckDB; the Spark plan uses the equivalent indexed
+# F.filter HOF instead of re-exploding positions.
+_SCRUB_SPANS_ORACLE_SQL = f"""
+    WITH spans AS ({_DUPSPAN_ORACLE_SQL}),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    p AS (SELECT doc_id, i AS pos, toks[i] AS tok
+          FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)),
+    kept AS (SELECT p.doc_id, p.pos, p.tok FROM p
+             WHERE NOT EXISTS (SELECT 1 FROM spans s
+                               WHERE s.doc_id = p.doc_id
+                                 AND p.pos BETWEEN s.span_start AND s.span_end)),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(agg.text_clean, '') AS text_clean,
+           len(t.toks) AS n_tokens,
+           len(t.toks) - COALESCE(agg.n_kept, 0) AS n_removed
+    FROM t LEFT JOIN agg USING (doc_id)
+    ORDER BY t.doc_id
+"""
+
+
+@q(
+    "doc_scrub_duplicate_spans",
+    None,  # pytest-oracled via _SCRUB_SPANS_ORACLE_SQL (newborn-oracle queue)
+    "The APPLY half of exact-substring dedup: excise every token covered "
+    "by a doc_duplicate_spans range and emit the cleaned text plus "
+    "removal counts (policy: drop ALL occurrences — the keep-one-copy "
+    "variant needs a global first-occurrence tiebreak and is a "
+    "span-filter away). The scrub itself is a map-side indexed F.filter "
+    "HOF after ONE doc_id join against the aggregated span list, which "
+    "is output-sized, not corpus-sized — at 100 TB it co-partitions with "
+    "the documents table's doc_id layout; no re-explode, no window.",
+)
+def doc_scrub_duplicate_spans(spark, sf_dir):
+    spans = (
+        doc_duplicate_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
+    )
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    j = d.join(spans, "doc_id", "left").withColumn(
+        "spans", F.coalesce("spans", F.array())
+    )
+    # F.filter's index i is 0-based; span ranges are 1-based token positions
+    kept = F.filter(
+        "toks",
+        lambda x, i: ~F.exists(
+            "spans",
+            lambda s: ((i + 1) >= s["span_start"]) & ((i + 1) <= s["span_end"]),
+        ),
+    )
+    return (
+        j.withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("kept")).alias("text_clean"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
