@@ -89,6 +89,8 @@ EXTRA = [
     "embedding_lsh_neardup_pairs_incremental",
     "doc_duplicate_spans",
     "doc_scrub_duplicate_spans",
+    "corpus_mix_weights",
+    "doc_pack_sequences",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

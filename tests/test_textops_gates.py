@@ -365,3 +365,20 @@ def test_scrub_duplicate_spans_planted(spark):
         (2, "w1 w2 w3 w4 w5 w6", 6, 0),
         (3, "", 10, 10),
     ], got
+
+
+def test_mix_weights_oracle_replica(spark):
+    from visiblev8_crawler_spark.plans.textops import _MIX_WEIGHTS_ORACLE_SQL
+
+    got = [
+        (r["source"], r["n_docs"], r["n_tokens"], r["token_share"], r["mix_weight"])
+        for r in QUERIES["corpus_mix_weights"].spark(spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(_MIX_WEIGHTS_ORACLE_SQL).fetchall()]
+    assert len(got) > 0
+    assert got == want
+    # the scarcest source carries weight exactly 1.0; shares sum to ~1
+    assert max(r[4] for r in got) == 1.0
+    assert abs(sum(r[3] for r in got) - 1.0) < 1e-4

@@ -1299,3 +1299,48 @@ def doc_scrub_duplicate_spans(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# Born pytest-oracled (rotation policy).
+_MIX_WEIGHTS_ORACLE_SQL = """
+    WITH s AS (SELECT source, COUNT(*) AS n_docs,
+                      SUM(len(string_split(text, ' '))) AS n_tokens
+               FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens * 1.0 / SUM(n_tokens) OVER (), 6) AS token_share,
+           ROUND(MIN(n_tokens) OVER () * 1.0 / n_tokens, 6) AS mix_weight
+    FROM s ORDER BY source
+"""
+
+
+@q(
+    "corpus_mix_weights",
+    None,  # pytest-oracled via _MIX_WEIGHTS_ORACLE_SQL (newborn-oracle queue)
+    "Static corpus-mixing weights: per-source token census plus the "
+    "subsampling weight that equalizes the token distribution across "
+    "sources (uniform target; weight = min-source tokens / own tokens, "
+    "so the scarcest source keeps everything and the rest downsample — "
+    "the deterministic skeleton under learned mixture reweighting). ONE "
+    "data-sized shuffle (the source aggregate, map-side combined); the "
+    "global window runs over the S-row aggregate — cells-sized, not "
+    "corpus-sized — which is exactly how it stays cheap at 100 TB.",
+)
+def corpus_mix_weights(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = (
+        _with_tokens(load(spark, sf_dir, "documents"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias("token_share"),
+        F.round(F.min("n_tokens").over(w) / F.col("n_tokens"), 6).alias("mix_weight"),
+    ).orderBy("source")
