@@ -91,6 +91,7 @@ EXTRA = [
     "doc_scrub_duplicate_spans",
     "corpus_mix_weights",
     "doc_pack_sequences",
+    "events_hopping_window",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

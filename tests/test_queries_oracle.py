@@ -61,6 +61,7 @@ NEWBORN_ORACLES = {
     "docs_lang_pivot": "_PIVOT_ORACLE_SQL",
     "events_funnel": "_FUNNEL_ORACLE_SQL",
     "orders_retention_cohort": "_COHORT_ORACLE_SQL",
+    "events_hopping_window": "_HOPPING_ORACLE_SQL",
 }
 
 REPLICA_ORACLES = {**DEMOTED_ORACLES, **NEWBORN_ORACLES}
@@ -156,3 +157,33 @@ def test_approx_distinct_within_bound(spark, ddb):
     ).fetchall()[0]
     assert abs(row["approx_sources"] - exact_sources) / exact_sources < 0.05
     assert abs(row["approx_docs"] - exact_docs) / exact_docs < 0.05
+
+
+def test_hopping_window_planted_membership(spark, tmp_path):
+    """Window-membership semantics pinned: an event exactly ON a 15-min
+    grid start belongs to exactly 4 hourly windows (its own start and the
+    three preceding slides); an event mid-slot belongs to the 4 windows
+    covering it, never one that ends at its timestamp."""
+    import datetime
+
+    from visiblev8_crawler_spark.plans.queries import events_hopping_window
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)       # on-grid
+    mid = datetime.datetime(2024, 1, 1, 12, 7, 30)       # mid-slot
+    rows = [
+        (1, base, 10, "view", 1.0, "{}"),
+        (2, mid, 11, "click", 2.0, "{}"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {}
+    for r in events_hopping_window(spark, d).collect():
+        got.setdefault(r["event_type"], []).append(r["win_start"])
+    e = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert got["view"] == [e - 2700, e - 1800, e - 900, e]
+    # mid-slot event: grid floor is e (12:00), so same 4 windows
+    assert got["click"] == [e - 2700, e - 1800, e - 900, e]

@@ -1033,3 +1033,54 @@ def orders_retention_cohort(spark, sf_dir):
         .agg(F.count("*").alias("n_customers"))
         .orderBy("cohort_ym", "month_offset")
     )
+
+
+# Born pytest-oracled (rotation policy, __spark_entry__.py). The oracle
+# spells the window-membership arithmetic (each event belongs to the 4
+# 15-min-grid starts covering it); the Spark plan uses the native
+# F.window(slide) operator — the same overlapping-window machinery
+# Structured Streaming runs, so the batch query IS the streaming query's
+# semantics, proven against independent arithmetic.
+_HOPPING_ORACLE_SQL = """
+    WITH w AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900 - k) * 900
+                          AS win_start,
+                      event_type, value
+               FROM events, UNNEST(generate_series(0, 3)) AS u(k))
+    SELECT win_start, event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@q(
+    "events_hopping_window",
+    None,  # pytest-oracled via _HOPPING_ORACLE_SQL (newborn-oracle queue)
+    "Hopping (sliding) window aggregation — 1 h windows every 15 min via "
+    "the native F.window(slide) operator, the shape Structured Streaming "
+    "uses for overlapping-window metrics; each event expands to "
+    "window/slide = 4 rows BEFORE the one keyed shuffle, so the cost "
+    "model at 100 TB is an explicit 4x input inflation (bounded, chosen "
+    "by the window/slide ratio), not a join. Epoch-aligned starts keep "
+    "the arithmetic timezone-free and exactly mirrorable in the oracle.",
+)
+def events_hopping_window(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            # parquet ts reads as TIMESTAMP_NTZ, which cannot cast straight
+            # to BIGINT; the intermediate TIMESTAMP cast (no-op for LTZ,
+            # UTC-session interpretation for NTZ — the same alignment the
+            # tumbling oracle relies on) makes the epoch conversion legal
+            # for both
+            F.col("w.start").cast("timestamp").cast("long").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
