@@ -225,3 +225,14 @@ def test_incremental_dedup_broadcasts_delta_only(spark):
             assert "CartesianProduct" not in p, (name, p)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """PLANS.md §15: doc_pack_sequences must never plan the global cumsum
+    as a single-partition window — the distributed prefix-sum shape is
+    range partitioning + mapInPandas, zero Window nodes, zero
+    SinglePartition exchanges."""
+    p = _plan(entry_mod.queries()["doc_pack_sequences"](spark, SF_DIR))
+    assert "Window" not in p, p
+    assert "SinglePartition" not in p, p
+    assert "MapInPandas" in p, p
