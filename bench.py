@@ -92,6 +92,7 @@ EXTRA = [
     "corpus_mix_weights",
     "doc_pack_sequences",
     "events_hopping_window",
+    "doc_unigram_logppl",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

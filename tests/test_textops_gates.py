@@ -382,3 +382,41 @@ def test_mix_weights_oracle_replica(spark):
     # the scarcest source carries weight exactly 1.0; shares sum to ~1
     assert max(r[4] for r in got) == 1.0
     assert abs(sum(r[3] for r in got) - 1.0) < 1e-4
+
+
+def test_unigram_logppl_oracle_replica(spark):
+    from visiblev8_crawler_spark.plans.textops import _LOGPPL_ORACLE_SQL
+
+    got = [
+        (r["doc_id"], r["n_tokens"], r["logppl"])
+        for r in QUERIES["doc_unigram_logppl"].spark(spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(_LOGPPL_ORACLE_SQL).fetchall()]
+    assert len(got) > 0
+    assert got == want
+
+
+def test_unigram_logppl_planted_ordering(spark):
+    """Semantics: a doc of corpus-common tokens must score strictly lower
+    (more likely) than a doc of corpus-rare tokens, and a doc whose every
+    token is unique scores exactly ln(N_total) (each token appears once)."""
+    import math
+    import os
+    import tempfile
+
+    from visiblev8_crawler_spark.plans.textops import doc_unigram_logppl
+
+    common = " ".join(["the"] * 10)           # 'the' df = 10
+    rare = "r1 r2 r3 r4 r5"                   # each df = 1
+    d = tempfile.mkdtemp(prefix="logppl_")
+    spark.createDataFrame(
+        [(0, common, "en", "web", len(common)), (1, rare, "en", "web", len(rare))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in doc_unigram_logppl(spark, d).collect()}
+    n_total = 15
+    assert got[0]["logppl"] < got[1]["logppl"]
+    assert got[0]["logppl"] == round(math.log(n_total / 10), 6)
+    assert got[1]["logppl"] == round(math.log(n_total), 6)

@@ -1344,3 +1344,47 @@ def corpus_mix_weights(spark, sf_dir):
         F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias("token_share"),
         F.round(F.min("n_tokens").over(w) / F.col("n_tokens"), 6).alias("mix_weight"),
     ).orderBy("source")
+
+
+# Born pytest-oracled (rotation policy).
+_LOGPPL_ORACLE_SQL = """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    f AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n FROM f),
+    s AS (SELECT t.doc_id, ln(tot.n) - ln(f.c) AS nll
+          FROM t JOIN f USING (tok), tot)
+    SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(nll), 6) AS logppl
+    FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@q(
+    "doc_unigram_logppl",
+    None,  # pytest-oracled via _LOGPPL_ORACLE_SQL (newborn-oracle queue)
+    "Unigram LM quality signal — mean negative log-likelihood per doc "
+    "against the corpus unigram distribution (the deterministic skeleton "
+    "of CCNet's LM-perplexity quality bucketing: rare-token-heavy docs "
+    "score high, common-token docs low). The frequency table keys the "
+    "ONE vocabulary-sized shuffle and its join is deliberately "
+    "UNFORCED-broadcast (vocabulary is unbounded at web scale — the "
+    "tfidf df-join decision, VERDICT r2 #1); the 1-row total rides a "
+    "broadcast. Two aggregates, one join, all JVM-side.",
+)
+def doc_unigram_logppl(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    nll = F.log(F.col("n").cast("double")) - F.log(F.col("c").cast("double"))
+    return (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))  # 1 row, always broadcastable
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("logppl"),
+        )
+        .orderBy("doc_id")
+    )
