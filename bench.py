@@ -93,6 +93,7 @@ EXTRA = [
     "doc_pack_sequences",
     "events_hopping_window",
     "doc_unigram_logppl",
+    "doc_chunk_overlap",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

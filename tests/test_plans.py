@@ -236,3 +236,14 @@ def test_pack_sequences_no_single_partition_window(spark):
     assert "Window" not in p, p
     assert "SinglePartition" not in p, p
     assert "MapInPandas" in p, p
+
+
+def test_chunk_overlap_map_only(spark):
+    """doc_chunk_overlap's 100 TB story: sequence+posexplode+slice inside
+    one projection — zero Exchange, zero Window, zero Aggregate — and the
+    scan prunes to (doc_id, text)."""
+    p = _plan(entry_mod.queries()["doc_chunk_overlap"](spark, SF_DIR))
+    assert p.count("Exchange") == 0, p
+    assert p.count("Window") == 0, p
+    assert "Aggregate" not in p, p
+    assert "lang" not in p and "n_chars" not in p, p

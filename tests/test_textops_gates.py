@@ -420,3 +420,44 @@ def test_unigram_logppl_planted_ordering(spark):
     assert got[0]["logppl"] < got[1]["logppl"]
     assert got[0]["logppl"] == round(math.log(n_total / 10), 6)
     assert got[1]["logppl"] == round(math.log(n_total), 6)
+
+
+def test_chunk_overlap_oracle_replica(spark):
+    from visiblev8_crawler_spark.plans.textops import _CHUNK_ORACLE_SQL
+
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["chunk_len"], r["chunk_text"])
+        for r in QUERIES["doc_chunk_overlap"].spark(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.execute(_CHUNK_ORACLE_SQL).fetchall())
+    assert len(got) > 0
+    assert got == want
+
+
+def test_chunk_overlap_semantics(spark, tmp_path_factory):
+    """Hand-computed chunking of a 40-token doc at size 32 / stride 24:
+    two chunks, the second 16 tokens long, overlapping the first by 8."""
+    import os
+
+    from visiblev8_crawler_spark.plans.textops import doc_chunk_overlap
+
+    d = str(tmp_path_factory.mktemp("chunkdoc"))
+    toks = [f"t{i}" for i in range(40)]
+    spark.createDataFrame(
+        [(7, " ".join(toks), "en", "web", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = sorted(
+        (r["chunk_id"], r["start_tok"], r["chunk_len"], r["chunk_text"])
+        for r in doc_chunk_overlap(spark, d).collect()
+    )
+    assert rows == [
+        (0, 0, 32, " ".join(toks[0:32])),
+        (1, 24, 16, " ".join(toks[24:40])),
+    ], rows
+    # the declared 8-token overlap, verified from the output itself
+    head = rows[0][3].split(" ")
+    tail = rows[1][3].split(" ")
+    assert head[-8:] == tail[:8]

@@ -1388,3 +1388,57 @@ def doc_unigram_logppl(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context chunking: fixed-size overlapping token windows (RAG / pretraining)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24  # overlap = _CHUNK_SIZE - _CHUNK_STRIDE = 8 tokens
+
+# Born pytest-oracled (rotation policy, tests/test_textops_gates.py).
+_CHUNK_ORACLE_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (SELECT doc_id, toks, u.s AS start_tok
+          FROM t, UNNEST(generate_series(0, len(toks) - 1, {_CHUNK_STRIDE})) AS u(s))
+    SELECT doc_id, start_tok // {_CHUNK_STRIDE} AS chunk_id, start_tok,
+           len(toks[start_tok + 1 : start_tok + {_CHUNK_SIZE}]) AS chunk_len,
+           array_to_string(toks[start_tok + 1 : start_tok + {_CHUNK_SIZE}], ' ')
+               AS chunk_text
+    FROM c
+"""
+
+
+@q(
+    "doc_chunk_overlap",
+    None,  # pytest-oracled via _CHUNK_ORACLE_SQL (newborn-oracle queue)
+    "Fixed-size overlapping token chunks (size 32, stride 24 -> 8-token "
+    "overlap): the RAG/pretraining context-window slicer. Map-only and "
+    "plan-locked zero-exchange (test_plans.py): sequence() generates the "
+    "chunk starts, posexplode fans them out, slice() cuts each window — "
+    "all JVM higher-order functions inside one projection, so at 100 TB "
+    "it is embarrassingly parallel with NO shuffle; output size is "
+    "input x (1/stride) rows and the scan prunes to (doc_id, text).",
+)
+def doc_chunk_overlap(spark, sf_dir):
+    toks = F.split("text", " ")
+    slc = F.slice(F.col("toks"), F.col("start_tok") + 1, _CHUNK_SIZE)
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_STRIDE))
+            ).alias("chunk_id", "start_tok"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.size(slc).cast("long").alias("chunk_len"),
+            F.concat_ws(" ", slc).alias("chunk_text"),
+        )
+    )
