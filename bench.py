@@ -94,6 +94,7 @@ EXTRA = [
     "events_hopping_window",
     "doc_unigram_logppl",
     "doc_chunk_overlap",
+    "doc_heavy_tokens_topk",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

@@ -247,3 +247,13 @@ def test_chunk_overlap_map_only(spark):
     assert p.count("Window") == 0, p
     assert "Aggregate" not in p, p
     assert "lang" not in p and "n_chars" not in p, p
+
+
+def test_heavy_tokens_candidate_join_broadcast(spark):
+    """doc_heavy_tokens_topk's 100 TB story: the exact recount must key on
+    the pruned candidate set behind a broadcast left-semi filter (never a
+    vocabulary-sized SortMergeJoin), and the top-k must plan distributed."""
+    p = _plan(entry_mod.queries()["doc_heavy_tokens_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p

@@ -461,3 +461,44 @@ def test_chunk_overlap_semantics(spark, tmp_path_factory):
     head = rows[0][3].split(" ")
     tail = rows[1][3].split(" ")
     assert head[-8:] == tail[:8]
+
+
+def test_heavy_tokens_oracle_replica(spark):
+    from visiblev8_crawler_spark.plans.textops import (
+        _HEAVY_TOKENS_ORACLE_SQL,
+        _HH_PRUNE_M,
+    )
+
+    got = [
+        (r["tok"], r["n_occurrences"], r["share"])
+        for r in QUERIES["doc_heavy_tokens_topk"].spark(spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(_HEAVY_TOKENS_ORACLE_SQL).fetchall()]
+    assert len(got) > 0
+    assert got == want
+    # the exactness precondition the docstring promises: every returned
+    # share clears the 1/M pruning bar, so candidate loss was impossible
+    assert min(r[2] for r in got) > 1.0 / _HH_PRUNE_M
+
+
+def test_heavy_tokens_planted_skew(spark, tmp_path_factory):
+    """Semantics under the distribution the sketch exists for: a long
+    unique-token tail plus 3 planted heavy tokens — the heavies must
+    surface as the exact top-3 with exact counts."""
+    import os
+
+    from visiblev8_crawler_spark.plans.textops import doc_heavy_tokens_topk
+
+    d = str(tmp_path_factory.mktemp("hhdocs"))
+    rows = []
+    for i in range(200):
+        # each doc: 5 unique tail tokens + the 3 heavies (aaa 3x, bbb 2x, ccc 1x)
+        toks = [f"tail{i}_{j}" for j in range(5)] + ["aaa"] * 3 + ["bbb"] * 2 + ["ccc"]
+        rows.append((i, " ".join(toks), "en", "web", len(toks)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = [(r["tok"], r["n_occurrences"]) for r in doc_heavy_tokens_topk(spark, d).collect()]
+    assert got[:3] == [("aaa", 600), ("bbb", 400), ("ccc", 200)], got

@@ -1442,3 +1442,72 @@ def doc_chunk_overlap(spark, sf_dir):
             F.concat_ws(" ", slc).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-shuffle top-k tokens: sketch-pruned candidates + exact recount
+# ---------------------------------------------------------------------------
+
+_HH_PRUNE_M = 200  # per-batch keep threshold: count > batch_len / M
+_HH_TOPK = 10
+
+# Born pytest-oracled (rotation policy, tests/test_textops_gates.py).
+# The oracle is plain exact SQL: the pruning is lossless for every token
+# with global share > 1/M (Misra-Gries pigeonhole over any disjoint batch
+# cover), so whenever the k-th-most-frequent share clears 1/M — gate-
+# asserted on the output itself — approximate candidates give EXACT top-k.
+_HEAVY_TOKENS_ORACLE_SQL = f"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM t),
+    c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok)
+    SELECT tok, c AS n_occurrences,
+           ROUND(c * 1.0 / (SELECT n FROM tot), 6) AS share
+    FROM c ORDER BY c DESC, tok LIMIT {_HH_TOPK}
+"""
+
+
+@q(
+    "doc_heavy_tokens_topk",
+    None,  # pytest-oracled via _HEAVY_TOKENS_ORACLE_SQL (newborn-oracle queue)
+    "Top-k most frequent tokens WITHOUT a vocabulary-sized shuffle — the "
+    "100 TB shape for frequent-item mining over web text, where unique "
+    "tokens are billions and a naive groupBy(tok) shuffles them all. "
+    "Pass 1 prunes per Arrow batch (vectorized pandas value_counts, keep "
+    "count > batch_len/M): by the Misra-Gries pigeonhole, any token with "
+    "GLOBAL share > 1/M must clear the per-batch bar in at least one "
+    "batch, so candidates are a superset of every 0.5%-or-heavier token "
+    "while staying < M per batch before distinct(). Pass 2 recounts "
+    "candidates EXACTLY behind a broadcast left-semi filter, so the only "
+    "data-sized shuffle keys on the candidate set, not the vocabulary; "
+    "the top-k plans as TakeOrderedAndProject. Output is provably exact "
+    "whenever the k-th share > 1/M (asserted in the gate); ties break by "
+    "token, the same rule in both engines.",
+)
+def doc_heavy_tokens_topk(spark, sf_dir):
+    import pandas as pd  # noqa: F401 (vectorized sketch pass)
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+
+    def prune(batches):
+        for pdf in batches:
+            vc = pdf["tok"].value_counts()
+            keep = vc[vc > len(pdf) / _HH_PRUNE_M]
+            yield keep.index.to_frame(index=False, name="tok")
+
+    cands = toks.mapInPandas(prune, "tok string").distinct()
+    total = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+        .limit(_HH_TOPK)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("n_total"), 6).alias("share"),
+        )
+    )
