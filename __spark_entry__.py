@@ -69,9 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_heavy_tokens_topk (full
     # DuckDB replicas in tests/; the incremental ops additionally carry
     # full-recompute equivalence gates); embedding_quantized_topk (replica +
-    # recall gate); embedding_kmeans_train (iterative float fixpoint ->
-    # tolerance-gated python replica, stays outside the hash window by
-    # nature).
+    # recall gate); embedding_kmeans_train and embedding_pca_project
+    # (iterative/eigensolver float fixpoints -> tolerance-gated
+    # python replicas, stay outside the hash window by nature).
     reg = _registry()
     ordered = sorted(reg, key=lambda name: reg[name].oracle is None)
     return {name: reg[name].spark for name in ordered}

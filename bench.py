@@ -95,6 +95,7 @@ EXTRA = [
     "doc_unigram_logppl",
     "doc_chunk_overlap",
     "doc_heavy_tokens_topk",
+    "embedding_pca_project",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

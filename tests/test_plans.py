@@ -257,3 +257,12 @@ def test_heavy_tokens_candidate_join_broadcast(spark):
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
     assert "SortMergeJoin" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_pca_projection_map_only(spark):
+    """embedding_pca_project's 100 TB story: training collects per-batch
+    sufficient statistics (no shuffle), and the projection inlines the
+    components as literals — the projection plan must be zero-Exchange."""
+    p = _plan(entry_mod.queries()["embedding_pca_project"](spark, SF_DIR))
+    assert p.count("Exchange") == 0, p
+    assert "Window" not in p, p

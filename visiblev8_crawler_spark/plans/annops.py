@@ -1005,3 +1005,115 @@ def embedding_quantized_topk(spark, sf_dir):
         .orderBy(F.col("qcos_micro").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA: distributed Gramian -> driver eigendecomposition -> map-only project
+# ---------------------------------------------------------------------------
+
+_PCA_K = 2
+
+
+def _pca_train(spark, sf_dir):
+    """Fit PCA over the embedding column; returns (mean, components, evr).
+
+    Scale shape (the part that matters at 10^9 vectors): the ONLY
+    distributed pass is a per-Arrow-batch partial-moment kernel
+    (vectorized numpy: batch count, column sums, Gramian X'X) emitted via
+    mapInPandas — one row of 1 + D + D^2 doubles per batch, so the driver
+    collects #batches rows regardless of corpus size (the classic
+    tree-reducible sufficient-statistics trick; no N x D^2 explode, no
+    shuffle at all — the moments job is scan+collect). The D x D
+    covariance eigendecomposition (numpy.linalg.eigh, symmetric) is
+    driver-side — D=64, microseconds — and the projection inlines the
+    top-K components as literal arrays, identical machinery to the IVF
+    centroid argmax.
+
+    Determinism: partials are summed in spark_partition_id order (ties by
+    within-partition emit order, which collect preserves), so the float
+    reduce order is fixed for a fixed partitioning; like k-means, outputs
+    are reproducible to last-ulp and the pytest gate compares a numpy
+    replica within tolerance (plus an eigengap floor so component order
+    and sign can never flip inside that tolerance).
+
+    Sign rule (mirrored in the replica): each component's
+    largest-|coordinate| entry is made positive — eigh's sign is
+    arbitrary, this one is canonical.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "embedding", F.spark_partition_id().alias("pid")
+    )
+
+    def moments(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            yield pd.DataFrame(
+                {
+                    "pid": [int(pdf["pid"].iloc[0])],
+                    "n": [X.shape[0]],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = sorted(
+        emb.mapInPandas(moments, "pid long, n long, s array<double>, g array<double>").collect(),
+        key=lambda r: r["pid"],
+    )
+    n = sum(r["n"] for r in parts)
+    dim = len(parts[0]["s"])
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for r in parts:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(dim, dim)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:_PCA_K]
+    comps = []
+    for i in order:
+        c = v[:, i]
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+    total_var = float(w.sum())
+    evr = [float(w[i]) / total_var for i in order]
+    return [float(x) for x in mean], comps, evr
+
+
+@q(
+    "embedding_pca_project",
+    None,  # floats through an eigensolver: numpy-replica pytest gate with an
+    # eigengap floor (test_pca_gate.py), not a value hash
+    "PCA over the embedding column — the dimensionality-reduction stage a "
+    "training-data pipeline runs before clustering/visualization/whitening. "
+    "Training is ONE scan emitting per-batch sufficient statistics "
+    "(count, sum, Gramian) — #batches x (1+D+D^2) doubles to the driver, "
+    "corpus-size independent — then a D x D eigh driver-side; projection "
+    "is map-only with the components inlined as literal arrays "
+    "(plan-locked zero-exchange). Output carries per-vector pc1/pc2 plus "
+    "the explained-variance ratios as constant columns.",
+)
+def embedding_pca_project(spark, sf_dir):
+    mean, comps, evr = _pca_train(spark, sf_dir)
+    e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cols = []
+    for k, c in enumerate(comps, start=1):
+        lit_c = F.array(*[F.lit(x) for x in c])
+        offset = sum(m * x for m, x in zip(mean, c))
+        cols.append(F.round(_dot(e_dbl, lit_c) - F.lit(offset), 6).alias(f"pc{k}"))
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", *([F.col("embedding")]))
+        .select("vec_id", "label", *cols)
+        .withColumn("evr1", F.round(F.lit(evr[0]), 4))
+        .withColumn("evr2", F.round(F.lit(evr[1]), 4))
+    )
