@@ -96,6 +96,7 @@ EXTRA = [
     "doc_chunk_overlap",
     "doc_heavy_tokens_topk",
     "embedding_pca_project",
+    "events_session_window",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

@@ -62,6 +62,7 @@ NEWBORN_ORACLES = {
     "events_funnel": "_FUNNEL_ORACLE_SQL",
     "orders_retention_cohort": "_COHORT_ORACLE_SQL",
     "events_hopping_window": "_HOPPING_ORACLE_SQL",
+    "events_session_window": "_SESSION_WINDOW_ORACLE_SQL",
 }
 
 REPLICA_ORACLES = {**DEMOTED_ORACLES, **NEWBORN_ORACLES}
@@ -187,3 +188,66 @@ def test_hopping_window_planted_membership(spark, tmp_path):
     assert got["view"] == [e - 2700, e - 1800, e - 900, e]
     # mid-slot event: grid floor is e (12:00), so same 4 windows
     assert got["click"] == [e - 2700, e - 1800, e - 900, e]
+
+
+def test_session_window_boundary_and_manual_equivalence(spark, tmp_path):
+    """Native F.session_window semantics pinned: an event EXACTLY at the
+    open window's end still merges (end-inclusive merge, i.e. a new
+    session needs the gap STRICTLY exceeded), one microsecond past it
+    splits; and the native plan equals a manual gaps-and-islands plan
+    with the same strict-> boundary rule on the real table."""
+    import datetime
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from visiblev8_crawler_spark.plans.queries import events_session_window
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    gap = datetime.timedelta(minutes=30)
+    us = datetime.timedelta(microseconds=1)
+    rows = [
+        (1, t0, 10, "view", 1.0, "{}"),
+        (2, t0 + gap, 10, "view", 2.0, "{}"),              # == gap -> merges
+        (3, t0 + 2 * gap + us, 10, "view", 3.0, "{}"),     # > gap -> NEW session
+        (4, t0, 11, "view", 4.0, "{}"),                    # second user, lone event
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in events_session_window(spark, d).collect()
+    )
+    assert got == [
+        (10, t0, t0 + 2 * gap, 2, 3.0),
+        (10, t0 + 2 * gap + us, t0 + 3 * gap + us, 1, 3.0),
+        (11, t0, t0 + gap, 1, 4.0),
+    ], got
+
+    # manual gaps-and-islands with the strict-> rule must agree on the real table
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sess = F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    manual = sorted(
+        tuple(r)
+        for r in ev.withColumn("sess", sess)
+        .groupBy("user_id", "sess")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .drop("sess")
+        .collect()
+    )
+    native = sorted(tuple(r) for r in events_session_window(spark, SF_DIR).collect())
+    assert native == manual

@@ -1084,3 +1084,60 @@ def events_hopping_window(spark, sf_dir):
         )
         .orderBy("win_start", "event_type")
     )
+
+
+# Born pytest-oracled (rotation policy, tests/test_queries_oracle.py).
+# Native-rule note (pinned empirically in the boundary gate): an event
+# whose ts falls EXACTLY on the open window's end still MERGES — Spark's
+# session merge is end-inclusive — so a new session starts only when the
+# gap is STRICTLY exceeded (> in the replica's is_start), the same rule
+# events_sessionize uses. session_end = last event + gap.
+_SESSION_WINDOW_ORACLE_SQL = """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    s AS (SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS sess FROM o)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sess
+"""
+
+
+@q(
+    "events_session_window",
+    None,  # pytest-oracled via _SESSION_WINDOW_ORACLE_SQL (newborn-oracle queue)
+    "Gap-based sessions via the NATIVE F.session_window operator — the "
+    "dynamic-window primitive Structured Streaming uses for stateful "
+    "session aggregation, here as a batch query. One keyed shuffle on "
+    "(user_id) and Spark's session-merge does the islands assignment "
+    "internally — no lag/running-sum window pair, so unlike "
+    "events_sessionize there is no second windowing pass over each "
+    "partition; at 100 TB both plans shuffle once on user_id, this one "
+    "does strictly less per-partition work. Proven equal to the manual "
+    "gaps-and-islands plan (strict-> boundary rule, end-inclusive merge) "
+    "in the gate, which also pins the exact-gap boundary case.",
+)
+def events_session_window(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
