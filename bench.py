@@ -97,6 +97,7 @@ EXTRA = [
     "doc_heavy_tokens_topk",
     "embedding_pca_project",
     "events_session_window",
+    "corpus_mix_sample",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

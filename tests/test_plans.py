@@ -266,3 +266,12 @@ def test_pca_projection_map_only(spark):
     p = _plan(entry_mod.queries()["embedding_pca_project"](spark, SF_DIR))
     assert p.count("Exchange") == 0, p
     assert "Window" not in p, p
+
+
+def test_mix_sample_weight_dim_broadcast(spark):
+    """corpus_mix_sample's 100 TB story: the S-row weight dimension rides
+    a broadcast onto the corpus scan — the apply side is map-only behind
+    one BroadcastHashJoin, never a corpus-sized SortMergeJoin."""
+    p = _plan(entry_mod.queries()["corpus_mix_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p

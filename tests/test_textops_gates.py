@@ -502,3 +502,40 @@ def test_heavy_tokens_planted_skew(spark, tmp_path_factory):
     ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     got = [(r["tok"], r["n_occurrences"]) for r in doc_heavy_tokens_topk(spark, d).collect()]
     assert got[:3] == [("aaa", 600), ("bbb", 400), ("ccc", 200)], got
+
+
+def test_mix_sample_oracle_replica(spark):
+    from visiblev8_crawler_spark.plans.textops import _MIX_SAMPLE_ORACLE_SQL
+
+    got = sorted(
+        (r["doc_id"], r["source"], r["lang"], r["u"], r["mix_weight"])
+        for r in QUERIES["corpus_mix_sample"].spark(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.execute(_MIX_SAMPLE_ORACLE_SQL).fetchall())
+    assert len(got) > 0
+    assert got == want
+
+
+def test_mix_sample_semantics(spark):
+    """The sample must implement the weights it claims: the scarcest
+    source (weight 1.0) keeps every doc, and each source's kept fraction
+    tracks its weight within binomial noise (4 sigma)."""
+    import math
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_by_source = {r["source"]: r["n"] for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    kept = QUERIES["corpus_mix_sample"].spark(spark, SF_DIR).collect()
+    kept_by_source = {}
+    wgt_by_source = {}
+    for r in kept:
+        kept_by_source[r["source"]] = kept_by_source.get(r["source"], 0) + 1
+        wgt_by_source[r["source"]] = r["mix_weight"]
+    scarcest = max(wgt_by_source, key=lambda s: wgt_by_source[s])
+    assert wgt_by_source[scarcest] == 1.0
+    assert kept_by_source[scarcest] == n_by_source[scarcest]
+    for s, w in wgt_by_source.items():
+        n = n_by_source[s]
+        sigma = math.sqrt(n * w * (1 - w))
+        assert abs(kept_by_source[s] - n * w) <= 4 * sigma + 1, (s, w, n, kept_by_source[s])

@@ -1511,3 +1511,63 @@ def doc_heavy_tokens_topk(spark, sf_dir):
             F.round(F.col("n_occurrences") / F.col("n_total"), 6).alias("share"),
         )
     )
+
+
+# Born pytest-oracled (rotation policy, tests/test_textops_gates.py).
+# Parity mechanics: u = first-8-hex of md5(doc_id) as an integer (Spark
+# conv(,16,10) == DuckDB CAST('0x'||… AS BIGINT)); the keep threshold is
+# the UNROUNDED weight scaled by 2^32 — a power-of-two multiply is exact
+# in IEEE doubles and both engines compute the weight as the same
+# BIGINT-sum division, so the kept SET is bit-identical across engines,
+# no float-boundary flakiness.
+_MIX_SAMPLE_ORACLE_SQL = """
+    WITH s AS (SELECT source, SUM(len(string_split(text, ' '))) AS nt
+               FROM documents GROUP BY source),
+    w AS (SELECT source, MIN(nt) OVER () * 1.0 / nt AS wgt FROM s)
+    SELECT d.doc_id, d.source, d.lang,
+           CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               AS u,
+           ROUND(w.wgt, 6) AS mix_weight
+    FROM documents d JOIN w USING (source)
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          < w.wgt * 4294967296.0
+"""
+
+
+@q(
+    "corpus_mix_sample",
+    None,  # pytest-oracled via _MIX_SAMPLE_ORACLE_SQL (newborn-oracle queue)
+    "corpus_mix_weights APPLIED — the actual pipeline step: keep each doc "
+    "with probability equal to its source's uniform-target weight, "
+    "decided by a deterministic per-doc hash uniform (first 8 md5 hex "
+    "chars as an integer vs weight*2^32), so the sample is reproducible, "
+    "engine-portable, and needs NO rng state. The S-row weight dimension "
+    "broadcasts onto the corpus scan — the apply side is map-only behind "
+    "one BroadcastHashJoin (plan-locked, no SortMergeJoin); the only "
+    "data-sized shuffle is the per-source token census. The scarcest "
+    "source keeps everything by construction (weight 1.0 -> threshold "
+    "2^32 > any u).",
+)
+def corpus_mix_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    s = _with_tokens(docs).groupBy("source").agg(F.sum("n_tokens").alias("nt"))
+    w = s.select(
+        "source",
+        (F.min("nt").over(Window.partitionBy()) / F.col("nt")).alias("wgt"),
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        docs.join(F.broadcast(w), "source")
+        .where(u < F.col("wgt") * F.lit(4294967296.0))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            u.alias("u"),
+            F.round("wgt", 6).alias("mix_weight"),
+        )
+    )
