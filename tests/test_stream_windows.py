@@ -142,3 +142,67 @@ def test_dedup_stream_drops_replayed_events(spark, tmp_path_factory):
     want = {r["event_id"] for r in src.select("event_id").distinct().collect()}
     assert len(got) == len(set(got)), "a replayed event leaked through"
     assert set(got) == want
+
+
+def test_session_stream_equals_batch_and_append_withholds_open_tail(
+    spark, tmp_path_factory
+):
+    """Streaming session_window ≡ batch (complete mode), and append mode
+    emits exactly the watermark-FINALIZED sessions: the trailing
+    still-open sessions (session_end > final watermark) are withheld —
+    the state-eviction contract a production unbounded stream relies on."""
+    import pyspark.sql.functions as F
+
+    events_dir = str(tmp_path_factory.mktemp("sessdir"))
+    os.symlink(f"{SF_DIR}/events.parquet", os.path.join(events_dir, "events.parquet"))
+
+    q = windows.run_session_stream(
+        spark, events_dir, str(tmp_path_factory.mktemp("sck1"))
+    )
+    q.awaitTermination(120)
+    complete = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM session_events").collect()
+    }
+
+    batch = windows.session_event_rollup(spark.read.parquet(events_dir))
+    want = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in batch.collect()
+    }
+    assert complete == want and len(complete) > 0
+
+    q2 = windows.run_session_stream(
+        spark,
+        events_dir,
+        str(tmp_path_factory.mktemp("sck2")),
+        output_mode="append",
+        query_name="session_events_append",
+    )
+    q2.awaitTermination(120)
+    appended = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM session_events_append").collect()
+    }
+    max_ts = spark.read.parquet(events_dir).agg(
+        F.max(F.col("ts").cast("timestamp"))
+    ).collect()[0][0]
+    import datetime
+
+    final_wm = max_ts - datetime.timedelta(minutes=30)
+    withheld = {k: v for k, v in complete.items() if v[0] > final_wm}
+    emitted = {k: v for k, v in complete.items() if v[0] <= final_wm}
+    assert appended == emitted, (len(appended), len(emitted))
+    assert len(withheld) >= 1  # the tail session really was open

@@ -178,3 +178,67 @@ def run_windowed_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_event_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session aggregation via the NATIVE ``F.session_window`` —
+    shared by the streaming and batch plans (same contract as
+    ``windowed_event_counts``). Batch twin: plans.queries
+    events_session_window; the boundary rule (end-inclusive merge) is
+    pinned in tests/test_queries_oracle.py."""
+    from pyspark.sql.types import TimestampType
+
+    if not isinstance(events.schema["ts"].dataType, TimestampType):
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_session_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+    gap: str = "30 minutes",
+    output_mode: str = "complete",
+    query_name: str = "session_events",
+):
+    """File-stream the events table into session_window state.
+
+    Mode semantics (both tested): ``complete`` keeps every session and the
+    watermark is inert — the TEST shape whose result equals the batch twin
+    exactly. ``append`` is the PRODUCTION shape for an unbounded stream:
+    a session row is emitted (and its state evicted) only once the
+    watermark passes its end, so on a bounded AvailableNow run the
+    trailing session(s) with session_end > max(ts) - watermark are
+    correctly WITHHELD — still open as far as the stream knows. The
+    equivalence test asserts append == complete minus exactly that set
+    (update mode is not supported for session windows by Spark).
+    Returns the StreamingQuery; results under ``query_name``."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = session_event_rollup(stream.withWatermark("ts", watermark), gap)
+    return (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
