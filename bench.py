@@ -98,6 +98,7 @@ EXTRA = [
     "embedding_pca_project",
     "events_session_window",
     "corpus_mix_sample",
+    "embedding_knn_join",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

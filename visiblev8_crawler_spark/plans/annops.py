@@ -1117,3 +1117,112 @@ def embedding_pca_project(spark, sf_dir):
         .withColumn("evr1", F.round(F.lit(evr[0]), 4))
         .withColumn("evr2", F.round(F.lit(evr[1]), 4))
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN JOIN: top-k neighbors for EVERY vector over the banded LSH index
+# ---------------------------------------------------------------------------
+
+_KNN_BANDS, _KNN_R, _KNN_K = 8, 4, 5
+
+
+def _knn_join_sql(bands: int, r: int, k: int) -> str:
+    axes = _band_axes(bands, r)
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {i} AS band, ({_sig_sql('v', axes[i])}) AS sig FROM e"
+        for i in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.vec_id AS qid, b2.vec_id AS nid
+             FROM x a JOIN x b2 ON a.band = b2.band AND a.sig = b2.sig
+                                AND a.vec_id <> b2.vec_id),
+    scored AS (SELECT c.qid, c.nid,
+                      ROUND(list_dot_product(ea.v, eb.v)
+                            / (sqrt(list_dot_product(ea.v, ea.v))
+                               * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+               FROM cand c
+               JOIN e ea ON ea.vec_id = c.qid
+               JOIN e eb ON eb.vec_id = c.nid),
+    ranked AS (SELECT *, ROW_NUMBER() OVER
+                   (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rnk
+               FROM scored)
+    SELECT qid AS vec_id, nid AS neighbor, CAST(rnk AS BIGINT) AS rank, cosine
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+# Born pytest-oracled (rotation policy, tests/test_ann_gates.py): the
+# replica is the SAME LSH plan in DuckDB (generated from the same axis
+# table, bit-identical cosines via the sequential-fold dot), so parity is
+# exact; quality vs brute-force truth is a separate recall gate.
+_KNN_JOIN_ORACLE_SQL = _knn_join_sql(_KNN_BANDS, _KNN_R, _KNN_K)
+
+
+@q(
+    "embedding_knn_join",
+    None,  # pytest-oracled via _KNN_JOIN_ORACLE_SQL + recall floor
+    "kNN JOIN — top-k cosine neighbors for EVERY vector (the all-rows "
+    "serving shape behind kNN-LM retrieval, dedup canonical picks, and "
+    "cluster seeding), not just one query point. Candidates come from "
+    "the banded sign-LSH self-join over id-only bucket entries (8 bands "
+    "x 4 bits: wider buckets than the near-dup screens because a kNN "
+    "join needs RECALL, not a tau filter), deduped BEFORE scoring; "
+    "exact cosines join back by vec_id; the per-query top-k is a window "
+    "over candidate sets bounded by bucket occupancy — never a global "
+    "sort, never an n^2 cartesian. At 100 TB: band count buys recall, "
+    "r holds bucket occupancy ~n/2^r, and the window partitions by "
+    "query id so it parallelizes perfectly. Recall@5 vs brute force is "
+    "CI-gated; ties rank by (rounded cosine DESC, neighbor ASC) — "
+    "deterministic in both engines since the cosines are bit-identical.",
+)
+def embedding_knn_join(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    ids = _band_ids(emb, _KNN_BANDS, _KNN_R)
+    cand = (
+        ids.select(F.col("vec_id").alias("qid"), "band", "sig")
+        .join(ids.select(F.col("vec_id").alias("nid"), "band", "sig"), ["band", "sig"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    ev = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    scored = (
+        cand.join(
+            ev.select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "qid",
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("nid"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "nid",
+        )
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("neighbor"),
+            "rank",
+            "cosine",
+        )
+    )
