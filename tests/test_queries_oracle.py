@@ -251,3 +251,54 @@ def test_session_window_boundary_and_manual_equivalence(spark, tmp_path):
     )
     native = sorted(tuple(r) for r in events_session_window(spark, SF_DIR).collect())
     assert native == manual
+
+
+def test_every_no_oracle_query_declares_a_pytest_gate():
+    """Discipline lock for the rotation policy: a query outside the
+    driver's 50-slot hard-signal window must name its pytest gate here —
+    an operator can never ship with NO correctness check. (The driver
+    still runs a rows-only check on these; this pins the stronger one.)"""
+    GATES = {
+        # sketches: tolerance gates (cross-engine sketch states differ)
+        "price_percentiles_approx": "test_queries_oracle.py::test_approx_percentiles_within_bound",
+        "approx_distinct_sources": "test_queries_oracle.py::test_approx_distinct_within_bound",
+        # demoted/newborn DuckDB replicas (this file)
+        "semi_join_active_parts": "REPLICA_ORACLES",
+        "case_bucket_classify": "REPLICA_ORACLES",
+        "capped_count": "REPLICA_ORACLES",
+        "union_distinct_hosts": "REPLICA_ORACLES",
+        "customer_rollup": "REPLICA_ORACLES",
+        "docs_lang_pivot": "REPLICA_ORACLES",
+        "events_funnel": "REPLICA_ORACLES",
+        "orders_retention_cohort": "REPLICA_ORACLES",
+        "events_hopping_window": "REPLICA_ORACLES",
+        "events_session_window": "REPLICA_ORACLES",
+        # dedicated gate files
+        "events_asof_join": "test_joins_gates.py",
+        "events_range_join": "test_joins_gates.py",
+        "embedding_lsh_neardup_pairs_incremental": "test_ann_gates.py",
+        "embedding_kmeans_train": "test_kmeans_gate.py",
+        "embedding_pca_project": "test_pca_gate.py",
+        "embedding_quantize_int8": "test_ann_gates.py",
+        "embedding_quantized_topk": "test_ann_gates.py",
+        "embedding_knn_join": "test_ann_gates.py",
+        "video_frame_overlap": "test_video_overlap.py",
+        "doc_pack_sequences": "test_packing.py",
+        "minhash_lsh_pairs_incremental": "test_textops_gates.py",
+        "doc_pii_scrub": "test_textops_gates.py",
+        "doc_neardup_canonicalize": "test_textops_gates.py",
+        "doc_duplicate_spans": "test_textops_gates.py",
+        "doc_scrub_duplicate_spans": "test_textops_gates.py",
+        "corpus_mix_weights": "test_textops_gates.py",
+        "corpus_mix_sample": "test_textops_gates.py",
+        "doc_unigram_logppl": "test_textops_gates.py",
+        "doc_chunk_overlap": "test_textops_gates.py",
+        "doc_heavy_tokens_topk": "test_textops_gates.py",
+    }
+    from visiblev8_crawler_spark.plans.queries import QUERIES
+
+    no_oracle = {n for n, spec in QUERIES.items() if spec.oracle is None}
+    missing = no_oracle - set(GATES)
+    assert not missing, f"no-oracle queries without a declared gate: {sorted(missing)}"
+    stale = set(GATES) - no_oracle
+    assert not stale, f"gate entries for queries now oracled/removed: {sorted(stale)}"
