@@ -67,7 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_scrub_duplicate_spans, corpus_mix_weights, doc_pack_sequences,
     # events_hopping_window, events_session_window, doc_unigram_logppl,
     # doc_chunk_overlap, doc_heavy_tokens_topk, corpus_mix_sample,
-    # embedding_knn_join (full
+    # embedding_knn_join, audio_frame_features (full
     # DuckDB replicas in tests/; the incremental ops additionally carry
     # full-recompute equivalence gates); embedding_quantized_topk (replica +
     # recall gate); embedding_kmeans_train and embedding_pca_project

@@ -99,6 +99,7 @@ EXTRA = [
     "events_session_window",
     "corpus_mix_sample",
     "embedding_knn_join",
+    "audio_frame_features",
 ]
 
 # sized so politeness capacity (hosts x avg per-host budget, x4 budget

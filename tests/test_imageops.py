@@ -81,3 +81,52 @@ def test_vseq_rejects_garbage():
 def test_av_stub_raises():
     with pytest.raises(NotImplementedError):
         imageops.decode_av_stub(b"\x00", "mp4")
+
+
+def test_audio_frame_features_match_golden(spark):
+    """Distributed Arrow execution == single-process golden on every row
+    (same proof mechanism as the image/video goldens; the feature kernel
+    is SHARED between the Spark op and the generator, so a drift is
+    impossible by construction and this test pins the plumbing: binary
+    column across the Arrow boundary, flatMap fan-out, schema)."""
+    import duckdb
+
+    from visiblev8_crawler_spark.plans.imageops import _AUDIO_ORACLE_SQL
+
+    got = sorted(
+        (r["doc_id"], r["frame_idx"], r["rms"], r["zcr"])
+        for r in imageops.audio_frame_features(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.execute(_AUDIO_ORACLE_SQL).fetchall())
+    assert len(got) > 0
+    assert got == want
+    # framing arithmetic: 4096 samples, frame 512, hop 256 -> 15 frames/doc
+    n_docs = len({d for d, _, _, _ in got})
+    assert len(got) == 15 * n_docs
+
+
+def test_audio_blob_container_roundtrip():
+    """The PCM1 container decodes to exactly what was encoded, and the
+    kernel rejects a foreign blob instead of mis-parsing it."""
+    import numpy as np
+    import pytest
+
+    from visiblev8_crawler_spark.plans.imageops import (
+        _AUDIO_MAGIC,
+        _audio_for,
+        audio_features_from_blob,
+    )
+
+    blob = _audio_for(7)
+    assert blob[:4] == _AUDIO_MAGIC
+    n = int.from_bytes(blob[4:8], "little")
+    assert n == 4096 and len(blob) == 8 + 2 * n
+    feats = audio_features_from_blob(blob)
+    assert [f[0] for f in feats] == list(range(15))
+    assert all(f[1] > 0 for f in feats)  # sine+noise has energy
+    # determinism: same doc_id -> identical blob and features
+    assert _audio_for(7) == blob and audio_features_from_blob(_audio_for(7)) == feats
+    with pytest.raises(AssertionError):
+        audio_features_from_blob(b"RIFF" + bytes(16))

@@ -283,6 +283,7 @@ def test_every_no_oracle_query_declares_a_pytest_gate():
         "embedding_quantized_topk": "test_ann_gates.py",
         "embedding_knn_join": "test_ann_gates.py",
         "video_frame_overlap": "test_video_overlap.py",
+        "audio_frame_features": "test_imageops.py",
         "doc_pack_sequences": "test_packing.py",
         "minhash_lsh_pairs_incremental": "test_textops_gates.py",
         "doc_pii_scrub": "test_textops_gates.py",

@@ -30,7 +30,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from visiblev8_crawler_spark import codecs  # noqa: E402
 from visiblev8_crawler_spark.plans.imageops import (  # noqa: E402
+    _audio_for,
     _video_for,
+    audio_features_from_blob,
     iter_vseq_frames,
     resize_nn,
 )
@@ -51,6 +53,7 @@ def main() -> None:
     stats = {"doc_id": [], "mean_r": [], "mean_g": [], "mean_b": [], "phash": []}
     fps = {"doc_id": [], "thumb_fp": []}
     frames = {"doc_id": [], "frame_idx": [], "mean_lum": [], "phash": []}
+    audio = {"doc_id": [], "frame_idx": [], "rms": [], "zcr": []}
 
     for doc_id in range(N_DOCS):
         arr = codecs.pixels_for(f"doc_{doc_id}", dim(doc_id, 1), dim(doc_id, 2))
@@ -71,6 +74,12 @@ def main() -> None:
             frames["frame_idx"].append(k)
             frames["mean_lum"].append(int(frame.mean()))
             frames["phash"].append(codecs.phash64(frame))
+
+        for k, rms, zcr in audio_features_from_blob(_audio_for(doc_id)):
+            audio["doc_id"].append(doc_id)
+            audio["frame_idx"].append(k)
+            audio["rms"].append(rms)
+            audio["zcr"].append(zcr)
 
     pq.write_table(
         pa.table(stats).cast(
@@ -93,6 +102,15 @@ def main() -> None:
             )
         ),
         os.path.join(out_dir, "video_frames.parquet"),
+    )
+    pq.write_table(
+        pa.table(audio).cast(
+            pa.schema(
+                [("doc_id", pa.int64()), ("frame_idx", pa.int32()),
+                 ("rms", pa.float64()), ("zcr", pa.int32())]
+            )
+        ),
+        os.path.join(out_dir, "audio_frames.parquet"),
     )
     print(f"wrote goldens for {N_DOCS} docs to {os.path.abspath(out_dir)}")
 

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -373,6 +374,111 @@ def video_frame_sample(spark, sf_dir, stride: int = 2):
             yield pd.DataFrame(rows)
 
     return videos.mapInPandas(sample, _FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: deterministic-fake PCM blob -> framed features
+# ---------------------------------------------------------------------------
+
+_AUDIO_MAGIC = b"PCM1"
+_AUDIO_N_SAMPLES = 4096
+_AUDIO_FRAME, _AUDIO_HOP = 512, 256
+
+
+def _audio_for(doc_id: int, n_samples: int = _AUDIO_N_SAMPLES) -> bytes:
+    """Deterministic fake audio blob (pure function of doc_id): a seeded
+    sine + noise mix, int16 little-endian PCM behind a 8-byte header. The
+    brief's contract for modalities with no codec in the container: the
+    DECODE is a deterministic fake, but everything Spark-side — binary
+    column, Arrow boundary crossing, mapInPandas kernel signature, flatMap
+    fan-out — is the real plumbing a pyav/ffmpeg swap-in would use."""
+    rng = np.random.RandomState(doc_id % (2**31))
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 0.01 + (doc_id % 17) * 0.005
+    wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.2 * rng.standard_normal(n_samples)
+    pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+    return _AUDIO_MAGIC + int(n_samples).to_bytes(4, "little") + pcm.tobytes()
+
+
+def audio_features_from_blob(blob: bytes) -> list[tuple[int, float, int]]:
+    """Decode the PCM1 container and emit per-frame (frame_idx, rms, zcr)
+    at frame=512 / hop=256 — the ONE kernel shared by the Spark op and the
+    golden generator (tools/gen_image_goldens.py), so they cannot drift.
+    rms is rounded to 4 decimals HERE so both consumers store the same
+    value; zcr counts sign changes (zeros count as positive)."""
+    assert blob[:4] == _AUDIO_MAGIC, "not a PCM1 blob"
+    n = int.from_bytes(blob[4:8], "little")
+    pcm = np.frombuffer(blob, dtype="<i2", offset=8, count=n).astype(np.float64)
+    out = []
+    k = 0
+    for start in range(0, n - _AUDIO_FRAME + 1, _AUDIO_HOP):
+        fr = pcm[start : start + _AUDIO_FRAME]
+        rms = round(float(np.sqrt(np.mean(fr * fr))), 4)
+        sgn = fr >= 0
+        zcr = int(np.count_nonzero(sgn[1:] != sgn[:-1]))
+        out.append((k, rms, zcr))
+        k += 1
+    return out
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", IntegerType()),
+    ]
+)
+
+# Born pytest-oracled (rotation policy, tests/test_imageops.py): same
+# golden-table mechanism as the driver-oracled image ops — a hash match
+# proves distributed Arrow execution == the single-process reference.
+_AUDIO_ORACLE_SQL = f"""
+    SELECT g.doc_id, g.frame_idx, g.rms, g.zcr
+    FROM '{_GOLDEN_DIR}/audio_frames.parquet' g
+    JOIN documents d ON g.doc_id = d.doc_id
+"""
+
+
+@q(
+    "audio_frame_features",
+    None,  # pytest-oracled via _AUDIO_ORACLE_SQL (newborn-oracle queue)
+    "multimodal audio: PCM-like binary container -> framed RMS energy + "
+    "zero-crossing rate at frame=512/hop=256 (the MFCC front-end's "
+    "framing), one input row fanning out to one row per frame "
+    "(flatMap-shaped mapInPandas, same plumbing as video_frame_sample); "
+    "decode is a deterministic fake per the no-codec contract "
+    "(decode_av_stub documents the swap-in point), the golden table is "
+    "generated by the SAME shared kernel so distributed-vs-single-process "
+    "parity is exact.",
+)
+def audio_frame_features(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    aud_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("audio", BinaryType())]
+    )
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {"doc_id": b["doc_id"], "audio": [_audio_for(int(d)) for d in b["doc_id"]]}
+            )
+
+    audio = docs.mapInPandas(make, aud_schema)
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"doc_id": [], "frame_idx": [], "rms": [], "zcr": []}
+            for doc_id, blob in zip(b["doc_id"], b["audio"]):
+                for k, rms, zcr in audio_features_from_blob(bytes(blob)):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(k)
+                    rows["rms"].append(rms)
+                    rows["zcr"].append(zcr)
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(features, _AUDIO_SCHEMA)
 
 
 def decode_av_stub(data: bytes, fmt: str) -> np.ndarray:
