@@ -206,3 +206,40 @@ def test_session_stream_equals_batch_and_append_withholds_open_tail(
     emitted = {k: v for k, v in complete.items() if v[0] <= final_wm}
     assert appended == emitted, (len(appended), len(emitted))
     assert len(withheld) >= 1  # the tail session really was open
+
+
+def test_enrichment_stream_equals_batch_with_left_nulls(spark, tmp_path_factory):
+    """Stream-static join ≡ the same batch join, row for row — including
+    LEFT-join semantics: an event type missing from the dimension comes
+    through with null enrichment, never dropped."""
+    import pyspark.sql.functions as F
+
+    events_dir = str(tmp_path_factory.mktemp("enrdir"))
+    os.symlink(f"{SF_DIR}/events.parquet", os.path.join(events_dir, "events.parquet"))
+
+    ev = spark.read.parquet(events_dir)
+    types = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
+    assert len(types) >= 2
+    # dimension deliberately misses the LAST type to exercise the left join
+    dim = spark.createDataFrame(
+        [(t, f"cat_{i % 2}", float(i + 1)) for i, t in enumerate(types[:-1])],
+        "event_type string, category string, weight double",
+    )
+
+    q = windows.run_enrichment_stream(
+        spark, events_dir, str(tmp_path_factory.mktemp("eck")), dim
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["user_id"], r["event_type"], r["category"], r["weight"], r["value"])
+        for r in spark.sql("SELECT * FROM enriched_events").collect()
+    }
+    want = {
+        r["event_id"]: (r["user_id"], r["event_type"], r["category"], r["weight"], r["value"])
+        for r in ev.join(F.broadcast(dim), "event_type", "left")
+        .select("event_id", "user_id", "event_type", "category", "weight", "value")
+        .collect()
+    }
+    assert got == want and len(got) == ev.count()
+    missed = [v for v in got.values() if v[1] == types[-1]]
+    assert missed and all(v[2] is None and v[3] is None for v in missed)

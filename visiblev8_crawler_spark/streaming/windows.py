@@ -242,3 +242,40 @@ def run_session_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_enrichment_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    dim: DataFrame,
+    query_name: str = "enriched_events",
+):
+    """Stream-static enrichment join — the third core Structured Streaming
+    join shape after windowed aggregation and stateful dedup: each
+    micro-batch of the event stream joins a STATIC dimension (here a
+    per-event-type taxonomy; in the crawl plane this is exactly how the
+    robots/politeness dimension would attach in a fully-streaming
+    deployment). The static side is broadcast per micro-batch — no
+    streaming state at all, so there is nothing to watermark and append
+    mode emits every enriched row exactly once (batch-equivalence tested,
+    including LEFT-join null-preservation for dimension misses).
+    Returns the StreamingQuery; results under ``query_name``."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    enriched = stream.join(F.broadcast(dim), "event_type", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "category",
+        "weight",
+        "value",
+    )
+    return (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
