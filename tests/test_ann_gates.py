@@ -366,5 +366,10 @@ def test_knn_join_no_cartesian_windowed_per_query(spark):
     df = QUERIES["embedding_knn_join"].spark(spark, SF_DIR)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in p, p
-    assert "Window" in p, p
-    assert "windowspecdefinition(qid" in p.replace(" ", "").lower() or "qid" in p, p
+    # the row_number Window node's PARTITION spec (second bracket group)
+    # must be qid — an empty spec is the global single-partition sort this
+    # test exists to forbid
+    win_lines = [ln for ln in p.splitlines() if "Window" in ln and "row_number" in ln]
+    assert win_lines, p
+    spec = win_lines[0].split("], [", 2)
+    assert len(spec) >= 3 and "qid#" in spec[1], win_lines[0]

@@ -128,5 +128,5 @@ def test_audio_blob_container_roundtrip():
     assert all(f[1] > 0 for f in feats)  # sine+noise has energy
     # determinism: same doc_id -> identical blob and features
     assert _audio_for(7) == blob and audio_features_from_blob(_audio_for(7)) == feats
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         audio_features_from_blob(b"RIFF" + bytes(16))

@@ -404,9 +404,11 @@ def _band_ids(emb: DataFrame, bands: int, r: int) -> DataFrame:
     )
 
 
-def _score_pairs(emb: DataFrame, cand: DataFrame, tau: float) -> DataFrame:
+def _score_pairs(emb: DataFrame, cand: DataFrame, tau: float | None) -> DataFrame:
     """Join embeddings back onto distinct (vec_a, vec_b) candidates and
-    emit exact-cosine pairs >= tau (norms computed once per vector)."""
+    emit exact-cosine pairs (norms computed once per vector); tau=None
+    keeps every scored pair (the kNN-join path — its cut is a top-k
+    window, not a threshold)."""
     ev = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     ea = ev.select(
         F.col("vec_id").alias("vec_a"),
@@ -419,13 +421,10 @@ def _score_pairs(emb: DataFrame, cand: DataFrame, tau: float) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= tau)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
-    )
+    scored = cand.join(ea, "vec_a").join(eb, "vec_b").withColumn("cos_raw", cos)
+    if tau is not None:
+        scored = scored.filter(F.col("cos_raw") >= tau)
+    return scored.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
 
 
 def _banded_neardup_spark(spark, sf_dir, bands: int, r: int, tau: float) -> DataFrame:
@@ -1066,6 +1065,8 @@ def _pca_train(spark, sf_dir):
         emb.mapInPandas(moments, "pid long, n long, s array<double>, g array<double>").collect(),
         key=lambda r: r["pid"],
     )
+    if not parts:  # clear signal instead of IndexError from deep inside
+        raise ValueError("embeddings table is empty: nothing to fit PCA on")
     n = sum(r["n"] for r in parts)
     dim = len(parts[0]["s"])
     s = np.zeros(dim)
@@ -1112,7 +1113,6 @@ def embedding_pca_project(spark, sf_dir):
         cols.append(F.round(_dot(e_dbl, lit_c) - F.lit(offset), 6).alias(f"pc{k}"))
     return (
         load(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", *([F.col("embedding")]))
         .select("vec_id", "label", *cols)
         .withColumn("evr1", F.round(F.lit(evr[0]), 4))
         .withColumn("evr2", F.round(F.lit(evr[1]), 4))
@@ -1189,32 +1189,11 @@ def embedding_knn_join(spark, sf_dir):
         .select("qid", "nid")
         .distinct()
     )
-    ev = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    scored = (
-        cand.join(
-            ev.select(
-                F.col("vec_id").alias("qid"),
-                F.col("embedding").alias("ea"),
-                F.col("nrm").alias("na"),
-            ),
-            "qid",
-        )
-        .join(
-            ev.select(
-                F.col("vec_id").alias("nid"),
-                F.col("embedding").alias("eb"),
-                F.col("nrm").alias("nb"),
-            ),
-            "nid",
-        )
-        .select(
-            "qid",
-            "nid",
-            F.round(
-                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine"),
-        )
-    )
+    scored = _score_pairs(
+        emb,
+        cand.select(F.col("qid").alias("vec_a"), F.col("nid").alias("vec_b")),
+        tau=None,
+    ).select(F.col("vec_a").alias("qid"), F.col("vec_b").alias("nid"), "cosine")
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -406,7 +406,8 @@ def audio_features_from_blob(blob: bytes) -> list[tuple[int, float, int]]:
     golden generator (tools/gen_image_goldens.py), so they cannot drift.
     rms is rounded to 4 decimals HERE so both consumers store the same
     value; zcr counts sign changes (zeros count as positive)."""
-    assert blob[:4] == _AUDIO_MAGIC, "not a PCM1 blob"
+    if blob[:4] != _AUDIO_MAGIC:  # ValueError like the VSEQ decoder —
+        raise ValueError("not a PCM1 blob")  # survives python -O
     n = int.from_bytes(blob[4:8], "little")
     pcm = np.frombuffer(blob, dtype="<i2", offset=8, count=n).astype(np.float64)
     out = []

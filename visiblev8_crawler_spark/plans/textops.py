@@ -1484,20 +1484,29 @@ _HEAVY_TOKENS_ORACLE_SQL = f"""
     "token, the same rule in both engines.",
 )
 def doc_heavy_tokens_topk(spark, sf_dir):
-    import pandas as pd  # noqa: F401 (vectorized sketch pass)
+    import pandas as pd
 
     toks = load(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("tok")
     )
 
+    # the sketch pass also carries each batch's token count in a sentinel
+    # row (tok=NULL), so the grand total needs NO third corpus scan; the
+    # persisted relation is tiny (< M+1 rows per batch)
     def prune(batches):
         for pdf in batches:
             vc = pdf["tok"].value_counts()
             keep = vc[vc > len(pdf) / _HH_PRUNE_M]
-            yield keep.index.to_frame(index=False, name="tok")
+            out = keep.index.to_frame(index=False, name="tok")
+            out["cnt"] = pd.array([None] * len(out), dtype="Int64")
+            yield pd.concat(
+                [out, pd.DataFrame({"tok": [None], "cnt": [len(pdf)]})],
+                ignore_index=True,
+            )
 
-    cands = toks.mapInPandas(prune, "tok string").distinct()
-    total = toks.agg(F.count("*").alias("n_total"))
+    sketch = toks.mapInPandas(prune, "tok string, cnt long").persist()
+    cands = sketch.where(F.col("tok").isNotNull()).select("tok").distinct()
+    total = sketch.agg(F.sum("cnt").alias("n_total"))
     return (
         toks.join(F.broadcast(cands), "tok", "left_semi")
         .groupBy("tok")

@@ -180,16 +180,13 @@ def run_windowed_stream(
     )
 
 
-def session_event_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Per-user session aggregation via the NATIVE ``F.session_window`` —
-    shared by the streaming and batch plans (same contract as
-    ``windowed_event_counts``). Batch twin: plans.queries
-    events_session_window; the boundary rule (end-inclusive merge) is
-    pinned in tests/test_queries_oracle.py."""
-    from pyspark.sql.types import TimestampType
-
-    if not isinstance(events.schema["ts"].dataType, TimestampType):
-        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+def session_rollup_body(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """The ONE session aggregation shared by the batch query
+    (plans.queries events_session_window, which keeps its TIMESTAMP_NTZ
+    column uncast) and the streaming wrapper below (which must cast to an
+    instant type for the watermark) — so the two plans cannot drift. The
+    boundary rule (end-inclusive merge) is pinned in
+    tests/test_queries_oracle.py."""
     return (
         events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
         .agg(
@@ -204,6 +201,18 @@ def session_event_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFram
             "sum_value",
         )
     )
+
+
+def session_event_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session aggregation via the NATIVE ``F.session_window`` —
+    the instant-typed form streaming needs (same contract as
+    ``windowed_event_counts``: cast only when the column is not already
+    instant-typed, to avoid detaching a watermark)."""
+    from pyspark.sql.types import TimestampType
+
+    if not isinstance(events.schema["ts"].dataType, TimestampType):
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return session_rollup_body(events, gap)
 
 
 def run_session_stream(
