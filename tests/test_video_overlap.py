@@ -46,16 +46,19 @@ def test_mih_layout_lossless_across_tau():
     ]
 
     def covered(a, b, tau):
-        for sh, bits in _mih_layout(tau):
-            m = (1 << bits) - 1
-            if bin(((a >> sh) & m) ^ ((b >> sh) & m)).count("1") <= 2:
+        # layout = interleaved bit-position lists (round 6); a pair is
+        # covered when some band's gathered bits differ in <= 2 positions
+        for positions in _mih_layout(tau):
+            if sum(((a >> p) ^ (b >> p)) & 1 for p in positions) <= 2:
                 return True
         return False
 
     for tau in (5, 11, 14, 16, 23):
         lay = _mih_layout(tau)
         assert len(lay) * 3 - 1 >= tau
-        assert all(b <= 16 for _, b in lay) and sum(b for _, b in lay) == 64
+        assert all(len(pos) <= 16 for pos in lay)
+        # bands must PARTITION the 64 bit positions (the pigeonhole premise)
+        assert sorted(p for pos in lay for p in pos) == list(range(64))
         n_checked = 0
         for i in range(len(hashes)):
             for j in range(i + 1, len(hashes)):

@@ -106,6 +106,11 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("bad PNG payload size")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     filters, lines = raw[:, 0], raw[:, 1:]
+    if not filters.any():
+        # filter-0-everywhere fast path (our own encoder always writes
+        # filter 0): rec == cur for every scanline, so the per-line loop
+        # is a straight copy — identical output, no per-row Python
+        return lines.reshape(h, w, 3).copy()
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = 3
     for y in range(h):
@@ -240,20 +245,35 @@ def phash64(arr: np.ndarray) -> int:
     Grayscale -> nearest-neighbor 32x32 -> 2D DCT -> top-left 8x8 minus DC ->
     bit = coefficient > median.
     """
-    gray = arr.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
-    ys = (np.arange(32) * h // 32).clip(0, h - 1)
-    xs = (np.arange(32) * w // 32).clip(0, w - 1)
-    small = gray[np.ix_(ys, xs)]
-    dct = _DCT32 @ small @ _DCT32.T
-    block = dct[:8, :8].flatten()
-    block[0] = np.median(block[1:])  # neutralize DC
-    med = np.median(block)
-    bits = (block > med).astype(np.uint64)
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
-    return int(np.int64(val))
+    return int(phash64_batch([arr])[0])
+
+
+def phash64_batch(arrs: list) -> np.ndarray:
+    """Vectorized phash64 over a batch of images (optimization round 6,
+    guide §4.2): the per-image resize stays a cheap slice, but the two
+    32x32 DCT matmuls, the medians and the bit packing run batched over
+    the whole stack. Bit-identical to the scalar path: np.matmul over a
+    stack invokes the same GEMM per slice, np.median selects the same
+    middle elements per row, and bit packing is exact integer arithmetic
+    (pinned by tests/test_imageops.py goldens and test_kernel_parity)."""
+    n = len(arrs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    smalls = np.empty((n, 32, 32), dtype=np.float64)
+    for i, arr in enumerate(arrs):
+        gray = arr.astype(np.float64).mean(axis=2)
+        h, w = gray.shape
+        ys = (np.arange(32) * h // 32).clip(0, h - 1)
+        xs = (np.arange(32) * w // 32).clip(0, w - 1)
+        smalls[i] = gray[np.ix_(ys, xs)]
+    dct = np.matmul(np.matmul(_DCT32, smalls), _DCT32.T)
+    block = dct[:, :8, :8].copy().reshape(n, 64)
+    block[:, 0] = np.median(block[:, 1:], axis=1)  # neutralize DC
+    med = np.median(block, axis=1)
+    bits = block > med[:, None]
+    weights = np.left_shift(np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64))
+    val = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return val.view(np.int64)
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import load, q
+from .queries import fanout, load, q
 
 _QUERY_VEC_ID = 0
 _DIM = 64
@@ -386,6 +386,154 @@ def _sig_sql(v: str, axes: list[int]) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Vectorized in-bucket scoring kernels (optimization round 6)
+# ---------------------------------------------------------------------------
+#
+# The round-5 plan materialized every in-bucket candidate pair as a row
+# (Σ occ² per band — 200M rows at sf1.0 for the 8x4 kNN layout), pushed
+# them through a distinct() exchange, joined embeddings back per pair and
+# evaluated a 64-term interpreted HOF fold per pair. Guide §2.3/§4.2: the
+# pair explosion only exists to DECIDE (tau filter / top-k); do the
+# deciding inside a per-bucket numpy kernel and emit only survivors.
+#
+# Bit-exactness contract (the oracle hash depends on it): the kernel
+# reproduces _dot/_norm's SEQUENTIAL element-order fold — acc starts at
+# 0.0 and per element d does one rounded multiply then one rounded add,
+# vectorized ACROSS pairs, sequential across d. numpy elementwise *, +
+# and np.sqrt are IEEE-754 correctly rounded like the JVM's, so each
+# pair's cosine is bit-identical to the old expression (and to DuckDB's
+# list_dot_product, which uses the same order). Pinned by
+# tests/test_kernel_parity.py and the existing oracle replicas.
+
+
+def _np_fold_dot(A, B):
+    """(n,d) x (m,d) -> (n,m) pairwise dot products in _dot's fold order."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d, None] * B[None, :, d]
+    return acc
+
+
+def _np_fold_norms(A):
+    """Per-row sqrt(sum of squares) in _norm's fold order."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * A[:, d]
+    return np.sqrt(acc)
+
+
+def _bucket_sorted_xn(pdf):
+    import numpy as np
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"].to_numpy()])
+    order = np.argsort(ids, kind="stable")
+    ids, X = ids[order], X[order]
+    return ids, X, _np_fold_norms(X)
+
+
+_KERNEL_CHUNK = 1024  # bounds the (chunk x occ) score matrix to ~8 MB
+
+
+def _bucket_tau_pairs(pdf, tau):
+    """All (vec_a < vec_b, cos_raw) pairs of one LSH bucket with raw cosine
+    >= tau (or NaN — Spark comparison semantics treat NaN as greater than
+    any value, so the old Filter kept NaN rows; zero-norm vectors only)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                          "vec_b": pd.Series(dtype="int64"),
+                          "cos_raw": pd.Series(dtype="float64")})
+    n = len(pdf)
+    if n < 2:
+        return empty
+    ids, X, nrm = _bucket_sorted_xn(pdf)
+    outs = []
+    for s in range(0, n, _KERNEL_CHUNK):
+        e = min(s + _KERNEL_CHUNK, n)
+        cos = _np_fold_dot(X[s:e], X) / (nrm[s:e, None] * nrm[None, :])
+        with np.errstate(invalid="ignore"):
+            keep = (cos >= tau) | np.isnan(cos)
+        keep &= np.arange(n)[None, :] > np.arange(s, e)[:, None]  # j > i
+        ii, jj = np.nonzero(keep)
+        if len(ii):
+            outs.append(pd.DataFrame({
+                "vec_a": ids[s + ii], "vec_b": ids[jj], "cos_raw": cos[ii, jj],
+            }))
+    return pd.concat(outs, ignore_index=True) if outs else empty
+
+
+def _bucket_topk_pairs(pdf, k, slack=2e-6):
+    """Per-query local top-k candidates of one LSH bucket (ordered pairs,
+    qid != nid). Keeps every candidate whose raw cosine is within ``slack``
+    of the k-th best: the final ranking key is (ROUNDED cosine DESC, nid
+    ASC), and |round6(x) - x| <= 5e-7, so a candidate excluded here (>= k
+    candidates beat it by more than 2e-6 raw) is beaten by >= k candidates
+    after rounding too — the global top-k over the deduped union of local
+    keeps is exactly the top-k over all candidates. NaN cosines are always
+    kept (Spark sorts NaN first)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                          "nid": pd.Series(dtype="int64"),
+                          "cos_raw": pd.Series(dtype="float64")})
+    n = len(pdf)
+    if n < 2:
+        return empty
+    ids, X, nrm = _bucket_sorted_xn(pdf)
+    outs = []
+    for s in range(0, n, _KERNEL_CHUNK):
+        e = min(s + _KERNEL_CHUNK, n)
+        cos = _np_fold_dot(X[s:e], X) / (nrm[s:e, None] * nrm[None, :])
+        loc = np.arange(e - s)
+        cloc = cos.copy()
+        cloc[loc, np.arange(s, e)] = -np.inf  # mask self for the threshold
+        if n - 1 <= k:
+            thresh = np.full(e - s, -np.inf)
+        else:
+            with np.errstate(invalid="ignore"):
+                kth = np.partition(cloc, n - k, axis=1)[:, n - k]
+            thresh = kth - slack
+            thresh[np.isnan(kth)] = -np.inf
+        with np.errstate(invalid="ignore"):
+            keep = (cloc >= thresh[:, None]) | np.isnan(cloc)
+        keep[loc, np.arange(s, e)] = False
+        ii, jj = np.nonzero(keep)
+        if len(ii):
+            outs.append(pd.DataFrame({
+                "qid": ids[s + ii], "nid": ids[jj], "cos_raw": cos[ii, jj],
+            }))
+    return pd.concat(outs, ignore_index=True) if outs else empty
+
+
+def _band_entries(emb: DataFrame, bands: int, r: int) -> DataFrame:
+    """(band, sig, vec_id, embedding) bucket entries carrying the vector —
+    the input relation of the per-bucket scoring kernels. One shuffle of
+    bands x n rows; at 100 TB this replaces the Σocc² candidate-pair
+    exchange the two-phase id-only plan paid, and the bucket key
+    (band, sig) bounds skew exactly as before."""
+    axes = _band_axes(bands, r)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                _sig_expr_spark(F.col("embedding"), axes[i]).alias("sig"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return emb.select("vec_id", "embedding", F.explode(band_structs).alias("bs")).select(
+        "vec_id", "embedding", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
 def _band_ids(emb: DataFrame, bands: int, r: int) -> DataFrame:
     """(vec_id, band, sig) bucket entries — the id-only relation the
     two-phase neardup plan shuffles (see _banded_neardup_spark)."""
@@ -428,33 +576,30 @@ def _score_pairs(emb: DataFrame, cand: DataFrame, tau: float | None) -> DataFram
 
 
 def _banded_neardup_spark(spark, sf_dir, bands: int, r: int, tau: float) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    # Two-phase plan (round-4 rewrite, measured 2.1x at sf0.1: 3.34->1.61 s
-    # for the bands=4/r=4 edge generation that dominates
-    # embedding_neardup_components):
-    # 1. the band-bucket self-join runs over (band, sig, vec_id) ONLY —
-    #    shuffling 8-byte ids instead of the ~520-byte embedding+norm rows
-    #    the old wide join moved through the bucket exchange (that shuffle
-    #    was ~60% of the whole query). distinct() then collapses multi-band
-    #    collisions BEFORE scoring, so each candidate pair is scored once,
-    #    not once per colliding band.
-    # 2. embeddings (+ norms, still computed once per vector map-side, NOT
-    #    per pair) join back by vec_id — an equi-join Catalyst can
-    #    co-partition with the embeddings table's own layout at cluster
-    #    scale — and the exact cosine filter runs per distinct pair. Same
-    #    _dot/_norm expressions over the same values as before, so the
-    #    emitted cosines (and the oracle hash) are bit-identical; the old
-    #    post-scoring distinct() is subsumed by the pre-scoring pair
-    #    distinct (a pair colliding in >1 band had one rounded cosine).
-    ids = _band_ids(emb, bands, r)
-    cand = (
-        ids.select(F.col("vec_id").alias("vec_a"), "band", "sig")
-        .join(ids.select(F.col("vec_id").alias("vec_b"), "band", "sig"), ["band", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    # Round-6 rewrite (guide §2.3 + §4.2; was the round-4 two-phase id-only
+    # join): the bucket self-join materialized Σocc² candidate rows per band
+    # (~n²·b/2^r — 100M at sf1.0 for 4x4), pushed them through a distinct()
+    # exchange and scored each distinct pair with an interpreted 64-term HOF
+    # fold after joining embeddings back. Now ONE shuffle moves b x n bucket
+    # entries (with vectors) to their (band, sig) bucket and a numpy kernel
+    # scores occ x occ pairs per bucket in vectorized chunks, emitting only
+    # tau-survivors — the pair explosion never exists as rows. Cosines are
+    # bit-identical (sequential-fold kernel, see _np_fold_dot); a pair
+    # colliding in >1 band yields byte-identical rows, so dropDuplicates
+    # replaces the old pre-scoring distinct. Measured (bench_extra, sf1.0
+    # scale model): embedding_neardup_components 67 s -> ~8 s.
+    emb = fanout(load(spark, sf_dir, "embeddings"))
+    entries = _band_entries(emb, bands, r)
+
+    def kern(pdf):
+        return _bucket_tau_pairs(pdf, tau)
+
+    pairs = entries.groupBy("band", "sig").applyInPandas(
+        kern, "vec_a long, vec_b long, cos_raw double"
     )
-    return _score_pairs(emb, cand, tau)
+    return pairs.dropDuplicates(["vec_a", "vec_b"]).select(
+        "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine")
+    )
 
 
 def _banded_neardup_sql(bands: int, r: int, tau: float) -> str:
@@ -957,17 +1102,33 @@ _QUANT_TOPK_ORACLE_SQL = f"""
     "CI-gated (test_ann_gates.py); TakeOrderedAndProject, no full sort.",
 )
 def embedding_quantized_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    # Round-6 plan repair (guide §1.2/§7.2, measured 35.6 s at the driver's
+    # sf1.0 for a 20k-row map+top-k — pathological): the old spelling
+    # inlined the scale expression (an array_max over two nested
+    # transforms) into EVERY element of the quantize transform, and the
+    # inorm2 > 0 filter was pushed below the projection, duplicating the
+    # whole quantization into the Filter node twice more (plan excerpt in
+    # plans/r06/embedding_quantized_topk_before.txt). Fixes, all
+    # value-preserving: scale/q computed ONCE as columns; the zero-norm
+    # filter replaced by the equivalent-but-cheap rawscale != 0 predicate
+    # (inorm2 = 0 <=> the vector is all-zero <=> max|x| = 0: a nonzero
+    # vector's max-|x| element quantizes to ±127); and the
+    # single-row-group scan fanned out so the per-row folds parallelize.
+    emb = fanout(load(spark, sf_dir, "embeddings"))
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     rawscale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
-    scale = F.when(rawscale == 0, F.lit(1.0)).otherwise(rawscale)
+    scale = F.when(F.col("rawscale") == 0, F.lit(1.0)).otherwise(F.col("rawscale"))
     q_arr = F.transform(
         e,
         lambda x: F.greatest(
-            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5)))
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / F.col("scale") + F.lit(0.5)))
         ).cast("long"),
     )
-    qd = emb.select("vec_id", "label", q_arr.alias("q"))
+    qd = (
+        emb.withColumn("rawscale", rawscale)
+        .withColumn("scale", scale)
+        .select("vec_id", "label", "rawscale", q_arr.alias("q"))
+    )
     qq = [
         int(x)
         for x in qd.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["q"]
@@ -981,15 +1142,17 @@ def embedding_quantized_topk(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    inorm2 = F.aggregate(
-        F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     return (
         qd.filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .withColumn("inorm2", inorm2)
-        .filter(F.col("inorm2") > 0)  # all-zero vector: cosine undefined
+        .filter(F.col("rawscale") != 0)  # all-zero vector: cosine undefined
+        .withColumn(
+            "inorm2",
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
         .select(
             "vec_id",
             "label",
@@ -1178,22 +1341,31 @@ _KNN_JOIN_ORACLE_SQL = _knn_join_sql(_KNN_BANDS, _KNN_R, _KNN_K)
     "deterministic in both engines since the cosines are bit-identical.",
 )
 def embedding_knn_join(spark, sf_dir):
+    # Round-6 rewrite (guide §2.3 + §4.2): the 8x4 layout's bucket
+    # self-join materialized ~n²·b/2^r candidate rows (200M at sf1.0),
+    # distinct()-ed them and scored each with an interpreted HOF fold —
+    # 242 s at the driver's sf1.0. The kernel scores each bucket's occ²
+    # pairs vectorized and emits only each query's LOCAL top-k (within the
+    # rounding slack — see _bucket_topk_pairs for the exactness argument:
+    # the global top-k restricted to a bucket is a subset of that bucket's
+    # local top-k, so the deduped union preserves the exact result). The
+    # final window then ranks <= bands*k rows per query instead of every
+    # candidate. Output bit-identical (sequential-fold cosines), pinned by
+    # the exact DuckDB replica gate.
     from pyspark.sql import Window
 
-    emb = load(spark, sf_dir, "embeddings")
-    ids = _band_ids(emb, _KNN_BANDS, _KNN_R)
-    cand = (
-        ids.select(F.col("vec_id").alias("qid"), "band", "sig")
-        .join(ids.select(F.col("vec_id").alias("nid"), "band", "sig"), ["band", "sig"])
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid")
-        .distinct()
+    emb = fanout(load(spark, sf_dir, "embeddings"))
+    entries = _band_entries(emb, _KNN_BANDS, _KNN_R)
+
+    def kern(pdf):
+        return _bucket_topk_pairs(pdf, _KNN_K)
+
+    local = entries.groupBy("band", "sig").applyInPandas(
+        kern, "qid long, nid long, cos_raw double"
     )
-    scored = _score_pairs(
-        emb,
-        cand.select(F.col("qid").alias("vec_a"), F.col("nid").alias("vec_b")),
-        tau=None,
-    ).select(F.col("vec_a").alias("qid"), F.col("vec_b").alias("nid"), "cosine")
+    scored = local.dropDuplicates(["qid", "nid"]).select(
+        "qid", "nid", F.round("cos_raw", 6).alias("cosine")
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -48,7 +48,7 @@ from pyspark.sql.types import (
 )
 
 from .. import codecs
-from .queries import load, q
+from .queries import fanout, load, q
 
 # golden tables (tools/gen_image_goldens.py): expected outputs of the
 # non-SQL-expressible decode kernels, computed single-process from the same
@@ -98,9 +98,13 @@ def _with_images(spark, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, bytes, decl_w, decl_h): the synthetic binary
     column. Deterministic per doc_id, so any parallelism yields identical
     bytes."""
+    # fanout (queries.py): the documents file is one row group -> one scan
+    # partition, which serialized the whole encode/decode kernel chain into
+    # a single Python worker (guide §2: the round-5 image queries ran 1 task
+    # wide). Rebalancing the 8-byte doc_id rows costs ~nothing and restores
+    # core-count parallelism for every downstream kernel.
     docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
+        fanout(load(spark, sf_dir, "documents").select("doc_id"))
         .withColumn("decl_w", _dim_col(1))
         .withColumn("decl_h", _dim_col(2))
     )
@@ -160,14 +164,18 @@ _STATS_SCHEMA = StructType(
 
 def _stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for b in batches:
-        rows = {"doc_id": b["doc_id"], "mean_r": [], "mean_g": [], "mean_b": [], "phash": []}
+        rows = {"doc_id": b["doc_id"], "mean_r": [], "mean_g": [], "mean_b": [], "phash": None}
+        arrs = []
         for data in b["bytes"]:
             arr = codecs.decode_png(bytes(data))
+            arrs.append(arr)
             m = arr.reshape(-1, 3).mean(axis=0)
             rows["mean_r"].append(int(m[0]))
             rows["mean_g"].append(int(m[1]))
             rows["mean_b"].append(int(m[2]))
-            rows["phash"].append(codecs.phash64(arr))
+        # batched DCT/median/bit-pack (codecs.phash64_batch): bit-identical
+        # to the old per-image loop, ~10x fewer small-numpy dispatches
+        rows["phash"] = codecs.phash64_batch(arrs)
         yield pd.DataFrame(rows)
 
 
@@ -342,7 +350,9 @@ _FRAME_SCHEMA = StructType(
     "multimodal frame sampling: video-like binary container -> demux -> every-2nd-frame decode -> per-frame luminance + phash; one input row fans out to one row per sampled frame (flatMap-shaped mapInPandas); oracle = single-process golden",
 )
 def video_frame_sample(spark, sf_dir, stride: int = 2):
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # fanout: single-row-group scan -> serial synthesis/demux kernels
+    # otherwise (see _with_images)
+    docs = fanout(load(spark, sf_dir, "documents").select("doc_id"))
 
     # stage 1: materialize the video blob as a real binary column (on a real
     # pipeline this is the stored column; the blob crosses the Arrow boundary)
@@ -362,7 +372,8 @@ def video_frame_sample(spark, sf_dir, stride: int = 2):
     # sampled frame out
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = {"doc_id": [], "frame_idx": [], "mean_lum": [], "phash": []}
+            rows = {"doc_id": [], "frame_idx": [], "mean_lum": [], "phash": None}
+            frames = []
             for doc_id, blob in zip(b["doc_id"], b["video"]):
                 for k, frame in enumerate(iter_vseq_frames(bytes(blob))):
                     if k % stride:
@@ -370,7 +381,8 @@ def video_frame_sample(spark, sf_dir, stride: int = 2):
                     rows["doc_id"].append(int(doc_id))
                     rows["frame_idx"].append(k)
                     rows["mean_lum"].append(int(frame.mean()))
-                    rows["phash"].append(codecs.phash64(frame))
+                    frames.append(frame)
+            rows["phash"] = codecs.phash64_batch(frames)
             yield pd.DataFrame(rows)
 
     return videos.mapInPandas(sample, _FRAME_SCHEMA)
@@ -410,16 +422,24 @@ def audio_features_from_blob(blob: bytes) -> list[tuple[int, float, int]]:
         raise ValueError("not a PCM1 blob")  # survives python -O
     n = int.from_bytes(blob[4:8], "little")
     pcm = np.frombuffer(blob, dtype="<i2", offset=8, count=n).astype(np.float64)
-    out = []
-    k = 0
-    for start in range(0, n - _AUDIO_FRAME + 1, _AUDIO_HOP):
-        fr = pcm[start : start + _AUDIO_FRAME]
-        rms = round(float(np.sqrt(np.mean(fr * fr))), 4)
-        sgn = fr >= 0
-        zcr = int(np.count_nonzero(sgn[1:] != sgn[:-1]))
-        out.append((k, rms, zcr))
-        k += 1
-    return out
+    if n < _AUDIO_FRAME:
+        return []
+    # vectorized framing (optimization round 6, VERDICT r5 'wrong' #2):
+    # all frames at once via a strided window view instead of a Python
+    # frame loop. Values are bit-identical to the per-frame path — each
+    # row of win*win is a fresh contiguous buffer, so np.mean's pairwise
+    # reduction per row matches np.mean over the 1-D slice, and zcr is a
+    # cumulative-sum difference over exact integers. The shared golden
+    # (tools/gen_image_goldens.py) pins this: its hashes are unchanged.
+    win = np.lib.stride_tricks.sliding_window_view(pcm, _AUDIO_FRAME)[::_AUDIO_HOP]
+    rms = np.sqrt(np.mean(win * win, axis=1))
+    sgn = pcm >= 0
+    changes = np.concatenate(([0], np.cumsum(sgn[1:] != sgn[:-1])))
+    starts = np.arange(win.shape[0]) * _AUDIO_HOP
+    zcr = changes[starts + _AUDIO_FRAME - 1] - changes[starts]
+    return [
+        (k, round(float(rms[k]), 4), int(zcr[k])) for k in range(win.shape[0])
+    ]
 
 
 _AUDIO_SCHEMA = StructType(
@@ -454,7 +474,8 @@ _AUDIO_ORACLE_SQL = f"""
     "parity is exact.",
 )
 def audio_frame_features(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # fanout: single-row-group scan -> serial synthesis/framing otherwise
+    docs = fanout(load(spark, sf_dir, "documents").select("doc_id"))
 
     aud_schema = StructType(
         [StructField("doc_id", LongType()), StructField("audio", BinaryType())]
@@ -506,17 +527,30 @@ def decode_av_stub(data: bytes, fmt: str) -> np.ndarray:
 _PHASH_PAIR_TAU = 16
 
 
-def _mih_layout(tau: int, radius: int = 2) -> list[tuple[int, int]]:
-    """Band layout (shift, bits) for 64-bit multi-index hashing: the
-    MINIMUM band count the pigeonhole bound allows for (tau, radius) —
-    m = ceil((tau+1)/(radius+1)) bands, each as WIDE as possible. Fewer,
-    wider bands is the Norouzi et al. scaling rule (band bits ~ log2 n):
-    candidate volume per band is n * |probe-neighborhood| * occupancy, and
-    occupancy ~ n / 2^bits collapses as bits grow, while the neighborhood
-    only grows polynomially (1 + bits + C(bits,2) for radius 2). The
-    round-5 first cut used 8x8-bit bands; at 15k hashes that is ~58 rows
-    per (band,key) bucket and ~250M candidate rows — re-parameterizing to
-    the bound cut it ~40x with the same lossless guarantee."""
+def _mih_layout(tau: int, radius: int = 2) -> list[list[int]]:
+    """Band layout for 64-bit multi-index hashing, as a bit-position list
+    per band: the MINIMUM band count the pigeonhole bound allows for
+    (tau, radius) — m = ceil((tau+1)/(radius+1)) bands, each as WIDE as
+    possible. Fewer, wider bands is the Norouzi et al. scaling rule (band
+    bits ~ log2 n): candidate volume per band is n * |probe-neighborhood|
+    * occupancy, and occupancy ~ n / 2^bits collapses as bits grow, while
+    the neighborhood only grows polynomially (1 + bits + C(bits,2) for
+    radius 2). The round-5 first cut used 8x8-bit bands; at 15k hashes
+    that is ~58 rows per (band,key) bucket and ~250M candidate rows —
+    re-parameterizing to the bound cut it ~40x with the same lossless
+    guarantee.
+
+    Round 6 (guide §2.5, skew): positions are INTERLEAVED round-robin
+    (band i takes bits i, i+m, i+2m, ...) instead of contiguous runs.
+    phash bits are ordered by DCT frequency, and the low-frequency (top)
+    bits are strongly correlated across real images — the contiguous
+    top-bits band had catastrophic bucket skew (measured at 50k hashes:
+    484 occupied buckets of 1024, max occupancy 2469, Σocc² 45M of the
+    55M total across all six bands). Round-robin mixes frequencies into
+    every band. The pigeonhole bound only needs the bands to PARTITION
+    the 64 bits, so candidates stay lossless and the output is identical
+    (pinned empirically by test_mih_layout_lossless_across_tau and the
+    brute-force oracles)."""
     # band count: the pigeonhole minimum, floored at 4 so no band exceeds
     # 16 bits — wider bands would overflow the int mask/key columns
     # (1<<31 masks, signed-int band keys) and buy nothing: occupancy
@@ -524,13 +558,7 @@ def _mih_layout(tau: int, radius: int = 2) -> list[tuple[int, int]]:
     # 10^9+ hashes the minimum m dominates anyway. The floor keeps the
     # bound: m>=4, r=2 -> lossless to 11 even for tiny tau.
     m = max(-(-(tau + 1) // (radius + 1)), 4)
-    base, extra = divmod(64, m)
-    out, shift = [], 0
-    for i in range(m):
-        bits = base + (1 if i < extra else 0)
-        out.append((shift, bits))
-        shift += bits
-    return out
+    return [list(range(i, 64, m)) for i in range(m)]
 
 
 def _probe_masks(bits: int, radius: int = 2) -> list[int]:
@@ -542,6 +570,66 @@ def _probe_masks(bits: int, radius: int = 2) -> list[int]:
     return sorted(masks)
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def _np_popcount64(x: np.ndarray) -> np.ndarray:
+    """Two's-complement popcount of an int64 array (byte-LUT sum; exact).
+    Deliberately NOT np.bitwise_count, which counts bits of |x| and would
+    be wrong for negative XOR results."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(np.ascontiguousarray(x).view(np.uint64)).astype(
+            np.int64
+        )
+    b = np.ascontiguousarray(x).view(np.uint8)
+    return _POP8[b].reshape(x.shape + (8,)).sum(axis=-1).astype(np.int64)
+
+
+def _mih_popcount_kernel(batches: Iterator[pd.DataFrame], tau: int):
+    """Per-bucket-pair exact Hamming scoring: each input row carries the
+    parallel (gid, item, phash) arrays of two buckets whose band keys are
+    within the probe radius; emit only cross-gid pairs with popcount <=
+    tau, oriented gid_a < gid_b. Exact integer arithmetic throughout —
+    output-identical to materializing the candidate join and filtering."""
+    for b in batches:
+        out = {"gid_a": [], "item_a": [], "gid_b": [], "item_b": [], "hamming": []}
+        for ga, ia, pa, gb, ib, pb in zip(
+            b["ga"], b["ia"], b["pa"], b["gb"], b["ib"], b["pb"]
+        ):
+            ga = np.asarray(ga, dtype=np.int64)
+            gb = np.asarray(gb, dtype=np.int64)
+            pa = np.asarray(pa, dtype=np.int64)
+            pb = np.asarray(pb, dtype=np.int64)
+            ham = _np_popcount64(pa[:, None] ^ pb[None, :])
+            ii, jj = np.nonzero((ham <= tau) & (ga[:, None] != gb[None, :]))
+            if not len(ii):
+                continue
+            ia = np.asarray(ia, dtype=np.int64)
+            ib = np.asarray(ib, dtype=np.int64)
+            a_g, b_g = ga[ii], gb[jj]
+            a_i, b_i = ia[ii], ib[jj]
+            swap = a_g > b_g
+            a_g2 = np.where(swap, b_g, a_g)
+            b_g2 = np.where(swap, a_g, b_g)
+            a_i2 = np.where(swap, b_i, a_i)
+            b_i2 = np.where(swap, a_i, b_i)
+            out["gid_a"].append(a_g2)
+            out["item_a"].append(a_i2)
+            out["gid_b"].append(b_g2)
+            out["item_b"].append(b_i2)
+            out["hamming"].append(ham[ii, jj])
+        if out["gid_a"]:
+            yield pd.DataFrame(
+                {
+                    "gid_a": np.concatenate(out["gid_a"]),
+                    "item_a": np.concatenate(out["item_a"]),
+                    "gid_b": np.concatenate(out["gid_b"]),
+                    "item_b": np.concatenate(out["item_b"]),
+                    "hamming": np.concatenate(out["hamming"]).astype(np.int32),
+                }
+            )
+
+
 def _mih_pairs(hashes, tau: int):
     """Multi-index-hashing candidate join, shared by the image and video
     near-dup operators. ``hashes``: (gid, item, phash) — gid groups rows
@@ -551,77 +639,107 @@ def _mih_pairs(hashes, tau: int):
     hamming <= tau — EVERY such pair: the band layout is derived from tau
     so the pigeonhole bound m*(radius+1)-1 >= tau always holds, for ANY
     tau in [0, 23] (see _mih_layout; above 23 the radius-2 probes cannot
-    cover 64 bits and the assert below fires)."""
+    cover 64 bits and the assert below fires).
+
+    Round-6 execution shape (guide §2.3/§4.2; was: explode every ITEM into
+    its full radius-2 probe neighborhood and equi-join against the index —
+    Σ probes x occupancy ≈ 1.2B materialized candidate rows at the
+    driver's sf1.0 for the video op, then distinct + popcount). The
+    neighborhood explosion now runs over the DISTINCT-KEY relation
+    (<= 2^bits rows/band, not n rows), bucket contents are grouped once
+    per (band, key), and a numpy kernel popcount-filters each
+    within-radius bucket pair — candidate pairs never exist as rows, only
+    hits do. Candidate coverage is identical: pair (x, y) collides iff
+    some band's keys differ by <= 2 bits, which is exactly membership of
+    an emitted bucket pair."""
     layout = _mih_layout(tau)
     assert len(layout) * 3 - 1 >= tau, "pigeonhole bound violated"
 
-    def band_key(shift, bits):
-        return F.shiftrightunsigned("phash", shift).bitwiseAND(
-            F.lit((1 << bits) - 1)
-        )
+    def band_key(positions):
+        # gather the band's (interleaved) bit positions into a packed key;
+        # packed-key Hamming distance == band-bit Hamming distance, which
+        # is all the radius-2 mask neighborhood needs
+        key = None
+        for j, pos in enumerate(positions):
+            bit = F.shiftrightunsigned("phash", pos).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, j) if j else bit
+            key = term if key is None else key + term
+        return key
 
     bands = F.array(
         *[
-            F.struct(F.lit(b).alias("band"), band_key(sh, bits).cast("int").alias("key"))
-            for b, (sh, bits) in enumerate(layout)
+            F.struct(F.lit(b).alias("band"), band_key(pos).cast("int").alias("key"))
+            for b, pos in enumerate(layout)
         ]
     )
     index = hashes.select(
         "gid", "item", "phash", F.explode(bands).alias("bk")
     ).select("gid", "item", "phash", "bk.band", "bk.key")
-    # probe side = index side x the radius-2 mask neighborhood of its band.
-    # The masks live in a tiny broadcast dimension (m * ~C(bits,2) rows,
-    # a few hundred) joined on band — NOT a literal array-of-structs
-    # expression: band widths differ so that array holds hundreds of
-    # struct exprs, which blows the JVM's 64KB method limit and knocks the
-    # whole stage out of codegen (observed: ERROR CodeGenerator + 2x slower
-    # interpreted fallback).
+    # bucket contents: parallel field arrays derived from ONE sorted
+    # struct list so the three columns stay aligned
+    entry = F.sort_array(F.collect_list(F.struct("gid", "item", "phash")))
+    buckets = (
+        index.groupBy("band", "key")
+        .agg(entry.alias("rows"))
+        .select(
+            "band",
+            "key",
+            F.col("rows.gid").alias("gids"),
+            F.col("rows.item").alias("items"),
+            F.col("rows.phash").alias("phashes"),
+        )
+        .persist()  # feeds the key-pair derivation and both join sides
+    )
+    # the radius-2 neighborhood explodes DISTINCT KEYS via the same tiny
+    # broadcast mask dimension as before (a literal array-of-structs would
+    # blow the 64KB codegen limit — see round-5 note); least/greatest +
+    # distinct keep each unordered bucket pair once (mask 0 = self pair)
     spark = hashes.sparkSession
     mask_rows = [
         (b, m)
-        for b, (_, bits) in enumerate(layout)
-        for m in _probe_masks(bits)
+        for b, pos in enumerate(layout)
+        for m in _probe_masks(len(pos))
     ]
     masks = F.broadcast(
         spark.createDataFrame(mask_rows, "band int, mask int")
     )
-    probe = (
-        index.join(masks, "band")
+    neighbor = F.col("key").bitwiseXOR(F.col("mask"))
+    kp = (
+        buckets.select("band", "key")
+        .join(masks, "band")
         .select(
-            "gid", "item", "phash", "band",
-            F.col("key").bitwiseXOR(F.col("mask")).alias("key"),
-        )
-    )
-    # probe ⋈ index on (band, key): gid inequality orients each pair once;
-    # distinct collapses multi-band / multi-probe hits before the popcount
-    # so each candidate pair is scored exactly once
-    cand = (
-        probe.alias("a")
-        .join(
-            index.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.key") == F.col("b.key"),
-                F.col("a.gid") < F.col("b.gid"),
-            ],
-        )
-        .select(
-            F.col("a.gid").alias("gid_a"),
-            F.col("a.item").alias("item_a"),
-            F.col("b.gid").alias("gid_b"),
-            F.col("b.item").alias("item_b"),
-            F.col("a.phash").alias("pa"),
-            F.col("b.phash").alias("pb"),
+            "band",
+            F.least(F.col("key"), neighbor).alias("k1"),
+            F.greatest(F.col("key"), neighbor).alias("k2"),
         )
         .distinct()
     )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
-        )
-        .filter(F.col("hamming") <= tau)
-        .drop("pa", "pb")
+    b1 = buckets.select(
+        "band",
+        F.col("key").alias("k1"),
+        F.col("gids").alias("ga"),
+        F.col("items").alias("ia"),
+        F.col("phashes").alias("pa"),
     )
+    b2 = buckets.select(
+        "band",
+        F.col("key").alias("k2"),
+        F.col("gids").alias("gb"),
+        F.col("items").alias("ib"),
+        F.col("phashes").alias("pb"),
+    )
+    pairs_in = (
+        kp.join(b1, ["band", "k1"])
+        .join(b2, ["band", "k2"])
+        .select("ga", "ia", "pa", "gb", "ib", "pb")
+    )
+    hits = pairs_in.mapInPandas(
+        lambda it: _mih_popcount_kernel(it, tau),
+        "gid_a long, item_a long, gid_b long, item_b long, hamming int",
+    )
+    # multi-band / self-bucket-double-orientation dedupe — hits-sized, not
+    # candidate-sized
+    return hits.distinct()
 
 
 @q(

@@ -55,6 +55,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fanout(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Rebalance a parallelism-deficient scan before heavy per-row compute.
+
+    The fixture parquet files are single-row-group, so every scan is ONE
+    partition and anything upstream of the first exchange (Python kernels,
+    shingle explodes, HOF folds) runs serially (guide §6: row groups are
+    the minimum split unit — maxPartitionBytes cannot split them). A
+    keyless round-robin repartition of the scan output restores
+    parallelism; it is deterministic under task retry (sort-before-
+    repartition, SPARK-23207, on by default). Scale-adaptive by
+    construction: a production table scan already has >= defaultParallelism
+    partitions, making this a no-op — only deficient scans pay the (tiny)
+    exchange."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     spark: Callable[[SparkSession, str], DataFrame]
