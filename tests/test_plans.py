@@ -195,10 +195,15 @@ def test_select_wave_table_mode_no_forced_broadcast(spark, world):
 def test_gopher_repetition_map_only(spark):
     """doc_gopher_repetition's 100 TB story is that it is embarrassingly
     parallel: one parquet scan, all fractions computed as JVM higher-order
-    functions in the projection — zero Exchange, zero Window, zero
-    Aggregate nodes."""
+    functions in the projection — zero DATA-KEYED exchanges, zero Window,
+    zero Aggregate nodes. Round 6: a single round-robin scan-fanout
+    exchange is allowed (queries.fanout — the fixture file is one row
+    group, which serialized the whole projection into one task); any
+    hash/range partitioning would mean a real shuffle crept in and still
+    fails."""
     p = _plan(entry_mod.queries()["doc_gopher_repetition"](spark, SF_DIR))
-    assert p.count("Exchange") == 0, p
+    assert p.count("Exchange") <= 1, p
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p, p
     assert p.count("Window") == 0, p
     assert "Aggregate" not in p, p
     assert p.count("Scan parquet") == 1, p

@@ -24,8 +24,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 BASE = "/root/testdata/sf0.1"
-# row-group sizing matches the fixture layout (single row group per file)
-# so scan parallelism in the bench mirrors the driver's files
 
 
 def _read(name):
@@ -33,7 +31,11 @@ def _read(name):
 
 
 def _write(out, name, table):
-    pq.write_table(table, f"{out}/{name}.parquet", row_group_size=1 << 30)
+    # pyarrow default row-group sizing (1Mi rows): matches the fixture
+    # layout (every sf<=0.1 table is one row group, exactly as observed in
+    # /root/testdata), so big tables split the way the driver's generator
+    # would split them and scan parallelism in the bench mirrors reality
+    pq.write_table(table, f"{out}/{name}.parquet")
     print(f"{name}: {table.num_rows} rows")
 
 

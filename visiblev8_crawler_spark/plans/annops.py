@@ -554,24 +554,55 @@ def _band_ids(emb: DataFrame, bands: int, r: int) -> DataFrame:
 
 def _score_pairs(emb: DataFrame, cand: DataFrame, tau: float | None) -> DataFrame:
     """Join embeddings back onto distinct (vec_a, vec_b) candidates and
-    emit exact-cosine pairs (norms computed once per vector); tau=None
-    keeps every scored pair (the kNN-join path — its cut is a top-k
-    window, not a threshold)."""
-    ev = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    ea = ev.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+    emit exact-cosine pairs; tau=None keeps every scored pair.
+
+    Round 6 (guide §4.2): the per-pair cosine moved from an interpreted
+    64-term HOF fold into a row-matched numpy kernel — same sequential
+    fold order (see _np_fold_dot), so every emitted value is
+    bit-identical; the tau filter compares the same raw doubles (NaN kept,
+    matching Spark's NaN-is-greatest Filter semantics). The equi-joins
+    attaching the vectors are unchanged (unhinted — broadcast at small
+    scale, co-partitionable at cluster scale)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = emb.select("vec_id", "embedding")
+    ea = ev.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = ev.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    wide = cand.join(ea, "vec_a").join(eb, "vec_b")
+
+    def kern(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in b["ea"]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in b["eb"]])
+            na = _np_fold_norms(A)
+            nb = _np_fold_norms(B)
+            acc = np.zeros(len(b), dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc += A[:, d] * B[:, d]
+            cos = acc / (na * nb)
+            if tau is not None:
+                with np.errstate(invalid="ignore"):
+                    keep = (cos >= tau) | np.isnan(cos)
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "vec_a": b["vec_a"].to_numpy()[keep],
+                        "vec_b": b["vec_b"].to_numpy()[keep],
+                        "cos_raw": cos[keep],
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {"vec_a": b["vec_a"], "vec_b": b["vec_b"], "cos_raw": cos}
+                )
+
+    scored = wide.select("vec_a", "vec_b", "ea", "eb").mapInPandas(
+        kern, "vec_a long, vec_b long, cos_raw double"
     )
-    eb = ev.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    scored = cand.join(ea, "vec_a").join(eb, "vec_b").withColumn("cos_raw", cos)
-    if tau is not None:
-        scored = scored.filter(F.col("cos_raw") >= tau)
     return scored.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
 
 
@@ -786,19 +817,54 @@ def min_label_components(labels, edges, extra_rounds: int = 2):
     comp_t = labels.schema["component"].dataType
     converged = n == 0  # empty edge set: nothing to propagate
     rounds = 0
+    # Size the loop's shuffles by the DATA, not the session default
+    # (optimization round 6, guide §2.2/§1.2): each round is a
+    # latency-bound micro-query over a few hundred KB of (id, label) rows,
+    # and 32 shuffle partitions x ~5 stages x 15 rounds drowned the work in
+    # task latency (measured at 190k edge rows: 13.5 s at 32 partitions,
+    # 6.8 s at 4). Scale-adaptive: partitions grow linearly with the active
+    # graph and cap at cluster parallelism, so a 10^9-edge graph still gets
+    # a full-width shuffle. Restored in finally — the surrounding query is
+    # unaffected.
+    sess = labels.sparkSession
+    n_edges = edges.count()  # edges is checkpointed by every caller
+    loop_parts = max(2, min(
+        sess.sparkContext.defaultParallelism, (n + n_edges) // 50_000 + 1
+    ))
+    prev_parts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels, rounds, converged = _min_label_loop(
+            labels, edges, n, max_rounds, comp_t, converged
+        )
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        labels.select("vec_id", "component").unionByName(passive),
+        rounds,
+        converged,
+    )
+
+
+def _min_label_loop(labels, edges, n, max_rounds, comp_t, converged):
+    from pyspark.sql import Observation
+
+    rounds = 0
     for _ in range(max_rounds):
         rounds += 1
-        msgs = edges.join(
+        # ONE join per round (optimization round 6; was two): pointer
+        # jumping label(label(v)) is itself message passing on the edge
+        # (component(v) -> v), so the static edge list unions with the
+        # current label-pointer edges and a single join delivers both the
+        # neighbor messages and the jump — per-round message set (and
+        # therefore every round's labels, the round count, and the output)
+        # is identical to the old msgs+jump pair of joins.
+        round_edges = edges.unionByName(
+            labels.select(F.col("component").alias("s"), F.col("vec_id").alias("t"))
+        )
+        msgs = round_edges.join(
             labels.withColumnRenamed("vec_id", "s"), "s"
         ).select(F.col("t").alias("vec_id"), "component")
-        jump = (
-            labels.alias("a")
-            .join(labels.alias("b"), F.col("a.component") == F.col("b.vec_id"))
-            .select(
-                F.col("a.vec_id").alias("vec_id"),
-                F.col("b.component").alias("component"),
-            )
-        )
         # tag the current-label branch with its own value so min(old) after
         # the groupBy recovers each vec_id's previous label (exactly one
         # non-null old per vec_id) — the convergence check costs one column,
@@ -808,7 +874,6 @@ def min_label_components(labels, edges, extra_rounds: int = 2):
         new_labels = (
             labels.select("vec_id", "component", F.col("component").alias("old"))
             .unionByName(msgs.select("vec_id", "component", null_old))
-            .unionByName(jump.select("vec_id", "component", null_old))
             .groupBy("vec_id")
             .agg(F.min("component").alias("component"), F.min("old").alias("old"))
             .observe(
@@ -826,11 +891,7 @@ def min_label_components(labels, edges, extra_rounds: int = 2):
         if (obs.get["changed"] or 0) == 0:
             converged = True
             break
-    return (
-        labels.select("vec_id", "component").unionByName(passive),
-        rounds,
-        converged,
-    )
+    return labels, rounds, converged
 
 
 @q(

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from .queries import load, q
+from .queries import fanout, load, q
 
 # fixed "trained model": intercept + weights for (n_tokens, avg_token_len, s_the)
 _W = {"intercept": -2.0, "n_tokens": 0.015, "avg_token_len": 0.12, "s_the": 0.35}
@@ -129,7 +129,9 @@ def classifier_inference(spark, sf_dir):
 def json_map_features(spark, sf_dir):
     from pyspark.sql.types import IntegerType, MapType, StringType
 
-    d = load(spark, sf_dir, "documents").select(
+    # fanout (round 6): the JSON round-trip + map/array HOF projection ran
+    # in ONE task on the single-row-group scan (2.6 s at sf1.0)
+    d = fanout(load(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     # deterministic map column: first-6 tokens -> token length, keys made

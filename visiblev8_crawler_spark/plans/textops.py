@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .queries import QUERIES, load, q
+from .queries import QUERIES, fanout, load, q
 
 # shared tokenization contract (mirrored literally in each oracle)
 def _with_tokens(df):
@@ -309,12 +309,25 @@ _SHINGLE_SQL = """
 """
 
 
-def _shingles(spark, sf_dir, docs=None):
+def _shingles(spark, sf_dir, docs=None, distinct=True):
     """(doc_id, sh) distinct 3-word shingles; docs <3 tokens -> whole text.
 
     ``docs`` overrides the documents scan (the incremental path filters the
-    delta BEFORE the explode so only new docs pay the shingling cost)."""
-    d = _with_tokens(load(spark, sf_dir, "documents") if docs is None else docs)
+    delta BEFORE the explode so only new docs pay the shingling cost).
+
+    fanout (round 6): the single-row-group documents file scans as ONE
+    partition, serializing the shingle explode + 4x salted md5 that
+    dominate every minhash consumer (guide §2) — rebalance first.
+
+    ``distinct=False`` (round 6, guide §2.4): MIN is duplicate-insensitive,
+    so the minhash-signature consumers skip the distinct() exchange
+    entirely — the groupBy(doc_id) partial aggregation collapses repeat
+    shingles map-side and the only shuffle carries 4 hashes per doc
+    instead of the full (doc, shingle) relation. min over the multiset ==
+    min over the set, so signatures (and the oracle hash) are unchanged.
+    Consumers that COUNT shingles (jaccard, contamination) keep the
+    distinct."""
+    d = _with_tokens(fanout(load(spark, sf_dir, "documents") if docs is None else docs))
     sh = d.select(
         "doc_id",
         F.explode(
@@ -327,7 +340,7 @@ def _shingles(spark, sf_dir, docs=None):
             ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
         ).alias("sh"),
     )
-    return sh.distinct()
+    return sh.distinct() if distinct else sh
 
 
 _SALTS = ("s1", "s2", "s3", "s4")
@@ -345,7 +358,7 @@ _SALTS = ("s1", "s2", "s3", "s4")
     "MinHash: 4 salted min-hash signatures over 3-gram shingles (one shuffle: the groupBy doc_id; shingling itself is a codegen'd HOF explode)",
 )
 def minhash_signatures(spark, sf_dir):
-    return _signatures(_shingles(spark, sf_dir))
+    return _signatures(_shingles(spark, sf_dir, distinct=False))
 
 
 def _signatures(sh):
@@ -467,8 +480,8 @@ def minhash_lsh_pairs_incremental(spark, sf_dir):
     # corpus 4x (the measured trap ngram_jaccard_pairs documents). The old
     # side persists here only because this self-contained query derives the
     # index in-plan; production scans the stored index table instead.
-    sig_new = _signatures(_shingles(spark, sf_dir, new_docs)).persist()
-    sig_old = _signatures(_shingles(spark, sf_dir, old_docs)).persist()
+    sig_new = _signatures(_shingles(spark, sf_dir, new_docs, distinct=False)).persist()
+    sig_old = _signatures(_shingles(spark, sf_dir, old_docs, distinct=False)).persist()
     bn = _band_table(sig_new)
     bo = _band_table(sig_old)
     new_old = (
@@ -571,7 +584,7 @@ def _simhash_sql() -> str:
 )
 def simhash_docs(spark, sf_dir):
     d = (
-        load(spark, sf_dir, "documents")
+        fanout(load(spark, sf_dir, "documents"))  # serial explode otherwise (round 6)
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
         # materialize md5 once per (doc, token); the 16 per-bit aggregates
@@ -835,7 +848,8 @@ _CONTAMINATION_ORACLE_SQL = f"""
 def benchmark_contamination(
     spark, sf_dir, n: int = _CONTAM_N, hash_shingles: bool = False
 ):
-    d = _with_tokens(load(spark, sf_dir, "documents"))
+    # fanout (round 6): serial shingle explode otherwise — see _shingles
+    d = _with_tokens(fanout(load(spark, sf_dir, "documents")))
     bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 10
     split = (
         F.when(bucket < 8, "train").when(bucket < 9, "valid").otherwise("test")
@@ -933,7 +947,12 @@ def benchmark_contamination(
     "round 5 (case_bucket_classify's slot).",
 )
 def doc_gopher_repetition(spark, sf_dir):
-    d = _with_tokens(load(spark, sf_dir, "documents"))
+    # fanout (round 6): the array_distinct-per-width HOFs are the heaviest
+    # map-only projection in the module and ran in ONE task on the
+    # single-row-group scan (6.2 s at sf1.0). The op stays map-only in the
+    # 100 TB sense — zero data-keyed exchanges — and the plan lock now pins
+    # exactly that (round-robin scan fanout allowed, hash/range forbidden).
+    d = _with_tokens(fanout(load(spark, sf_dir, "documents")))
 
     def grams(width):
         return F.transform(
@@ -1008,7 +1027,9 @@ _PII_ORACLE_SQL = f"""
     "common subset so the scrubbed text itself is oracle-comparable.",
 )
 def doc_pii_scrub(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    # fanout (round 6): three regex extract_all + three regexp_replace per
+    # row ran in ONE task on the single-row-group scan (2.8 s at sf1.0)
+    d = fanout(load(spark, sf_dir, "documents"))
     text = F.col("text")
 
     def n(pat):
@@ -1191,7 +1212,8 @@ def doc_duplicate_spans(spark, sf_dir):
     from pyspark.sql import Window
 
     n = _DUPSPAN_N
-    d = _with_tokens(load(spark, sf_dir, "documents")).filter(F.col("n_tokens") >= n)
+    # fanout (round 6): serial positional-gram explode otherwise
+    d = _with_tokens(fanout(load(spark, sf_dir, "documents"))).filter(F.col("n_tokens") >= n)
     # positional grams; persisted because the relation feeds both the df
     # aggregate and the hit semi-join (the ngram_jaccard re-scan trap)
     g = d.select(
@@ -1372,7 +1394,8 @@ _LOGPPL_ORACLE_SQL = """
     "broadcast. Two aggregates, one join, all JVM-side.",
 )
 def doc_unigram_logppl(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    # fanout (round 6): serial token explode otherwise
+    docs = fanout(load(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c").alias("n"))
