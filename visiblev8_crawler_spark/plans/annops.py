@@ -552,60 +552,6 @@ def _band_ids(emb: DataFrame, bands: int, r: int) -> DataFrame:
     )
 
 
-def _score_pairs(emb: DataFrame, cand: DataFrame, tau: float | None) -> DataFrame:
-    """Join embeddings back onto distinct (vec_a, vec_b) candidates and
-    emit exact-cosine pairs; tau=None keeps every scored pair.
-
-    Round 6 (guide §4.2): the per-pair cosine moved from an interpreted
-    64-term HOF fold into a row-matched numpy kernel — same sequential
-    fold order (see _np_fold_dot), so every emitted value is
-    bit-identical; the tau filter compares the same raw doubles (NaN kept,
-    matching Spark's NaN-is-greatest Filter semantics). The equi-joins
-    attaching the vectors are unchanged (unhinted — broadcast at small
-    scale, co-partitionable at cluster scale)."""
-    import numpy as np
-    import pandas as pd
-
-    ev = emb.select("vec_id", "embedding")
-    ea = ev.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = ev.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    wide = cand.join(ea, "vec_a").join(eb, "vec_b")
-
-    def kern(batches):
-        for b in batches:
-            if not len(b):
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in b["ea"]])
-            B = np.stack([np.asarray(v, dtype=np.float64) for v in b["eb"]])
-            na = _np_fold_norms(A)
-            nb = _np_fold_norms(B)
-            acc = np.zeros(len(b), dtype=np.float64)
-            for d in range(A.shape[1]):
-                acc += A[:, d] * B[:, d]
-            cos = acc / (na * nb)
-            if tau is not None:
-                with np.errstate(invalid="ignore"):
-                    keep = (cos >= tau) | np.isnan(cos)
-                if not keep.any():
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "vec_a": b["vec_a"].to_numpy()[keep],
-                        "vec_b": b["vec_b"].to_numpy()[keep],
-                        "cos_raw": cos[keep],
-                    }
-                )
-            else:
-                yield pd.DataFrame(
-                    {"vec_a": b["vec_a"], "vec_b": b["vec_b"], "cos_raw": cos}
-                )
-
-    scored = wide.select("vec_a", "vec_b", "ea", "eb").mapInPandas(
-        kern, "vec_a long, vec_b long, cos_raw double"
-    )
-    return scored.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
-
-
 def _banded_neardup_spark(spark, sf_dir, bands: int, r: int, tau: float) -> DataFrame:
     # Round-6 rewrite (guide §2.3 + §4.2; was the round-4 two-phase id-only
     # join): the bucket self-join materialized Σocc² candidate rows per band
@@ -715,8 +661,71 @@ def embedding_lsh_neardup_pairs_incremental(spark, sf_dir):
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
     )
-    cand = new_old.unionByName(new_new).distinct()
-    return _score_pairs(emb, cand, tau)
+    # Round-6 scoring shape (guide §2.3, measured at sf1.0 scale: 8.5M
+    # candidate pairs whose distinct() + per-pair embedding joins moved
+    # ~9 GB through Arrow): every candidate's vec_b side is IN THE DELTA by
+    # construction, so the delta embeddings (delta-sized, like the band
+    # entries the candidate joins already broadcast) ride a Python
+    # broadcast into the scoring kernel, candidates group per vec_a
+    # (collect_set subsumes the old distinct() — one shuffle of id pairs,
+    # no pair-level exchange), and each corpus vector crosses to Python
+    # exactly once. Cosines use the same sequential fold (bit-identical);
+    # the full-recompute-restricted equivalence gate pins the output.
+    import numpy as np
+    import pandas as pd
+
+    delta_rows = emb.filter(F.col("vec_id") >= cursor).select(
+        "vec_id", "embedding"
+    ).collect()  # delta-sized by construction (see docstring)
+    dmap = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in delta_rows
+    }
+    bdelta = spark.sparkContext.broadcast(dmap)
+    cand = new_old.unionByName(new_new)
+    grouped = cand.groupBy("vec_a").agg(F.collect_set("vec_b").alias("vbs"))
+    wide = grouped.join(
+        emb.select(F.col("vec_id").alias("vec_a"), "embedding"), "vec_a"
+    )
+
+    def kern(batches):
+        dm = bdelta.value
+        norms = {}
+
+        def nb_of(vid):
+            if vid not in norms:
+                norms[vid] = _np_fold_norms(dm[vid][None, :])[0]
+            return norms[vid]
+
+        for b in batches:
+            out_a, out_b, out_c = [], [], []
+            for vec_a, ea, vbs in zip(b["vec_a"], b["embedding"], b["vbs"]):
+                A = np.asarray(ea, dtype=np.float64)
+                vbs = [int(v) for v in vbs]
+                B = np.stack([dm[v] for v in vbs])
+                acc = np.zeros(len(vbs), dtype=np.float64)
+                for d in range(A.shape[0]):
+                    acc += A[d] * B[:, d]
+                na = _np_fold_norms(A[None, :])[0]
+                nbv = np.array([nb_of(v) for v in vbs])
+                cos = acc / (na * nbv)
+                with np.errstate(invalid="ignore"):
+                    keep = (cos >= tau) | np.isnan(cos)
+                if keep.any():
+                    out_a.append(np.full(int(keep.sum()), int(vec_a), dtype=np.int64))
+                    out_b.append(np.asarray(vbs, dtype=np.int64)[keep])
+                    out_c.append(cos[keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "cos_raw": np.concatenate(out_c),
+                    }
+                )
+
+    scored = wide.mapInPandas(kern, "vec_a long, vec_b long, cos_raw double")
+    return scored.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
 
 
 @q(
@@ -1310,6 +1319,8 @@ def _pca_train(spark, sf_dir):
             c = -c
         comps.append([float(x) for x in c])
     total_var = float(w.sum())
+    if total_var <= 0:  # constant-embedding corpus (ADVICE r5): clear signal
+        raise ValueError("embeddings have zero variance: PCA undefined")
     evr = [float(w[i]) / total_var for i in order]
     return [float(x) for x in mean], comps, evr
 

@@ -675,6 +675,63 @@ def _mih_pairs(hashes, tau: int):
     index = hashes.select(
         "gid", "item", "phash", F.explode(bands).alias("bk")
     ).select("gid", "item", "phash", "bk.band", "bk.key")
+    # the radius-2 mask neighborhood lives in a tiny broadcast dimension
+    # (m * ~C(bits,2) rows — a literal array-of-structs would blow the
+    # 64KB codegen limit, see round-5 note), shared by both regimes below
+    spark = hashes.sparkSession
+    mask_rows = [
+        (b, m)
+        for b, pos in enumerate(layout)
+        for m in _probe_masks(len(pos))
+    ]
+    masks = F.broadcast(
+        spark.createDataFrame(mask_rows, "band int, mask int")
+    )
+
+    # Regime switch (round 6): the bucket-pair kernel's key-neighborhood
+    # machinery costs Θ(2^bits x |neighborhood|) regardless of n, so at
+    # low bucket occupancy (n ≲ 4 rows/bucket) the round-5 row-level
+    # probe join is strictly cheaper — and at high occupancy it explodes
+    # as Σocc² x neighborhood (1.2B joined rows at 150k hashes) while the
+    # kernel stays flat. Both paths emit the identical pair set (same
+    # candidate condition, exact popcount filter), so the branch is purely
+    # an execution choice, like AQE picking a join strategy. `hashes` is
+    # persisted by every caller, so the count is a cache read.
+    n_hashes = hashes.count()
+    max_bits = max(len(pos) for pos in layout)
+    if n_hashes <= 4 * (1 << max_bits):
+        probe = index.join(masks, "band").select(
+            "gid", "item", "phash", "band",
+            F.col("key").bitwiseXOR(F.col("mask")).alias("key"),
+        )
+        cand = (
+            probe.alias("a")
+            .join(
+                index.alias("b"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.key") == F.col("b.key"),
+                    F.col("a.gid") < F.col("b.gid"),
+                ],
+            )
+            .select(
+                F.col("a.gid").alias("gid_a"),
+                F.col("a.item").alias("item_a"),
+                F.col("b.gid").alias("gid_b"),
+                F.col("b.item").alias("item_b"),
+                F.col("a.phash").alias("pa"),
+                F.col("b.phash").alias("pb"),
+            )
+            .distinct()
+        )
+        return (
+            cand.withColumn(
+                "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+            )
+            .filter(F.col("hamming") <= tau)
+            .drop("pa", "pb")
+        )
+
     # bucket contents: parallel field arrays derived from ONE sorted
     # struct list so the three columns stay aligned
     entry = F.sort_array(F.collect_list(F.struct("gid", "item", "phash")))
@@ -690,19 +747,9 @@ def _mih_pairs(hashes, tau: int):
         )
         .persist()  # feeds the key-pair derivation and both join sides
     )
-    # the radius-2 neighborhood explodes DISTINCT KEYS via the same tiny
-    # broadcast mask dimension as before (a literal array-of-structs would
-    # blow the 64KB codegen limit — see round-5 note); least/greatest +
-    # distinct keep each unordered bucket pair once (mask 0 = self pair)
-    spark = hashes.sparkSession
-    mask_rows = [
-        (b, m)
-        for b, pos in enumerate(layout)
-        for m in _probe_masks(len(pos))
-    ]
-    masks = F.broadcast(
-        spark.createDataFrame(mask_rows, "band int, mask int")
-    )
+    # the radius-2 neighborhood explodes DISTINCT KEYS via the shared mask
+    # dimension; least/greatest + distinct keep each unordered bucket pair
+    # once (mask 0 = self pair)
     neighbor = F.col("key").bitwiseXOR(F.col("mask"))
     kp = (
         buckets.select("band", "key")

@@ -383,7 +383,10 @@ def capped_count(spark, sf_dir):
     "A6/X7: JSON-field parse + aggregate (production_classifier.py:104-123,154-211)",
 )
 def json_props_agg(spark, sf_dir):
-    ev = load(spark, sf_dir, "events").withColumn(
+    # fanout (round 6): one JSON parse per row ran in ONE task on the
+    # single-row-group events scan (2.4 s at sf1.0; the aggregate itself
+    # is trivial)
+    ev = fanout(load(spark, sf_dir, "events")).withColumn(
         "k", F.get_json_object("props", "$.k").cast("long")
     )
     return ev.groupBy("event_type").agg(
@@ -1152,8 +1155,4 @@ def events_session_window(spark, sf_dir):
     # watermark, and the replica compares naive timestamps)
     from ..streaming.windows import session_rollup_body
 
-    # fanout (round 6, batch side only — the streaming wrapper keeps its
-    # source untouched): the partial session-window aggregate hashes ~1
-    # struct key PER EVENT pre-merge, and on the single-row-group scan that
-    # ran in ONE task (8.8 s at sf1.0; ~1 s fanned out)
-    return session_rollup_body(fanout(load(spark, sf_dir, "events")))
+    return session_rollup_body(load(spark, sf_dir, "events"))

@@ -1394,8 +1394,7 @@ _LOGPPL_ORACLE_SQL = """
     "broadcast. Two aggregates, one join, all JVM-side.",
 )
 def doc_unigram_logppl(spark, sf_dir):
-    # fanout (round 6): serial token explode otherwise
-    docs = fanout(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c").alias("n"))
