@@ -124,3 +124,58 @@ def test_phash_batch_matches_scalar_reference():
         arrs.append(codecs.pixels_for(f"doc_{i}", w, h))
     got = codecs.phash64_batch(arrs)
     assert [int(x) for x in got] == [ref(a) for a in arrs]
+
+
+def test_mih_kernel_and_rowjoin_paths_identical(spark):
+    """The _mih_pairs regime switch (occupancy-adaptive, round 6) must be
+    a pure execution choice: forcing the bucket-pair kernel on the small
+    fixture corpus (which defaults to the row-level probe join) must give
+    the exact same pair set the driver-oracled row-join path gives."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    from visiblev8_crawler_spark.plans import imageops as io
+
+    sf = "/root/testdata/sf0.001"
+    ph = (
+        io._with_images(spark, sf)
+        .mapInPandas(io._stats_kernel, io._STATS_SCHEMA)
+        .select(F.col("doc_id").alias("gid"), F.lit(0).alias("item"), "phash")
+        .persist()
+    )
+    rowjoin = sorted(
+        tuple(r) for r in io._mih_pairs(ph, io._PHASH_PAIR_TAU).collect()
+    )
+    with mock.patch.object(io, "_MIH_KERNEL_MIN_OCC", 0):
+        kernel = sorted(
+            tuple(r) for r in io._mih_pairs(ph, io._PHASH_PAIR_TAU).collect()
+        )
+    assert len(rowjoin) > 0
+    assert rowjoin == kernel
+
+
+def test_lsh_kernel_chunking_invariant():
+    """_bucket_tau_pairs/_bucket_topk_pairs results must not depend on the
+    chunk size (the fixture buckets are single-chunk; force multi-chunk)."""
+    from unittest import mock
+
+    from visiblev8_crawler_spark.plans import annops as a
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")[:200]
+    pdf = pd.DataFrame({"vec_id": pdf["vec_id"], "embedding": pdf["embedding"]})
+
+    tau_full = a._bucket_tau_pairs(pdf, 0.30)
+    topk_full = a._bucket_topk_pairs(pdf, 5)
+    with mock.patch.object(a, "_KERNEL_CHUNK", 7):
+        tau_chunked = a._bucket_tau_pairs(pdf, 0.30)
+        topk_chunked = a._bucket_topk_pairs(pdf, 5)
+
+    def key(df):
+        return sorted(map(tuple, df.itertuples(index=False)))
+
+    assert key(tau_full) == key(tau_chunked)
+    assert len(key(tau_full)) > 0
+    # chunking splits query rows, never the candidate axis, so the per-row
+    # threshold (and thus the keep-set) is exactly chunk-invariant
+    assert key(topk_full) == key(topk_chunked)

@@ -570,6 +570,11 @@ def _probe_masks(bits: int, radius: int = 2) -> list[int]:
     return sorted(masks)
 
 
+# occupancy threshold for the _mih_pairs regime switch (avg rows/bucket
+# above which the bucket-pair kernel beats the row-level probe join);
+# module-level so the cross-path equality gate can force either branch
+_MIH_KERNEL_MIN_OCC = 4
+
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 
 
@@ -699,7 +704,7 @@ def _mih_pairs(hashes, tau: int):
     # persisted by every caller, so the count is a cache read.
     n_hashes = hashes.count()
     max_bits = max(len(pos) for pos in layout)
-    if n_hashes <= 4 * (1 << max_bits):
+    if n_hashes <= _MIH_KERNEL_MIN_OCC * (1 << max_bits):
         probe = index.join(masks, "band").select(
             "gid", "item", "phash", "band",
             F.col("key").bitwiseXOR(F.col("mask")).alias("key"),
