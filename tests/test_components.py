@@ -37,10 +37,16 @@ def test_path_graph_converges_within_log_bound(spark):
     r_{k+1} = max(r_k + 1, 2 r_k) (messages extend by 1, jump doubles the
     previous round's reach), so value convergence takes 7 rounds + 1
     detection round — well inside the 4*ceil(log2 n) + 2 cap."""
+    from visiblev8_crawler_spark.plans.annops import _CC_UNROLL
+
     n = 63
     labels, rounds, converged = _run(spark, n, [(i, i + 1) for i in range(n - 1)])
     assert converged, f"did not converge in {rounds} rounds"
-    assert rounds <= math.ceil(math.log2(n)) + 2  # friendly ordering: log-fast
+    # round 6: _CC_UNROLL steps fuse per action, so convergence is
+    # DETECTED at step granularity _CC_UNROLL — the reported count may
+    # overshoot the value-convergence round by up to 2*_CC_UNROLL-1
+    # no-op steps (still log-fast, which is what this gate pins)
+    assert rounds <= math.ceil(math.log2(n)) + 1 + 2 * _CC_UNROLL
     assert rounds <= 4 * math.ceil(math.log2(n)) + 2  # the actual cap
     rows = {r.vec_id: r.component for r in labels.collect()}
     assert rows == {i: 0 for i in range(n)}

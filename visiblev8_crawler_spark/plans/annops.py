@@ -855,25 +855,51 @@ def min_label_components(labels, edges, extra_rounds: int = 2):
     )
 
 
+_CC_UNROLL = 2  # propagation steps fused per action (see loop docstring)
+
+
 def _min_label_loop(labels, edges, n, max_rounds, comp_t, converged):
+    """Iterate min-label propagation to the fixpoint.
+
+    Round-6 shape changes (each proven output-identical):
+    - ONE join per step (was two): pointer jumping label(label(v)) is
+      itself message passing on the edge (component(v) -> v), so the
+      static edge list unions with the current label-pointer edges and a
+      single join delivers both the neighbor messages and the jump — the
+      per-step message set is identical to the old msgs+jump pair.
+    - _CC_UNROLL steps fuse into one plan per action/localCheckpoint:
+      each action's cost is dominated by fixed scheduling latency on the
+      tiny label relations, so halving the action count nearly halves
+      the loop's wall. The convergence observation compares against the
+      labels of _CC_UNROLL steps ago — zero changes across the window
+      implies the fixpoint exactly (propagation is monotone: labels only
+      decrease, and an unchanged window means no decrease anywhere); a
+      converged graph may run up to _CC_UNROLL-1 extra no-op steps,
+      which cannot alter the labels."""
     from pyspark.sql import Observation
 
     rounds = 0
-    for _ in range(max_rounds):
-        rounds += 1
-        # ONE join per round (optimization round 6; was two): pointer
-        # jumping label(label(v)) is itself message passing on the edge
-        # (component(v) -> v), so the static edge list unions with the
-        # current label-pointer edges and a single join delivers both the
-        # neighbor messages and the jump — per-round message set (and
-        # therefore every round's labels, the round count, and the output)
-        # is identical to the old msgs+jump pair of joins.
+
+    def one_step(cur):
         round_edges = edges.unionByName(
-            labels.select(F.col("component").alias("s"), F.col("vec_id").alias("t"))
+            cur.select(F.col("component").alias("s"), F.col("vec_id").alias("t"))
         )
         msgs = round_edges.join(
-            labels.withColumnRenamed("vec_id", "s"), "s"
+            cur.withColumnRenamed("vec_id", "s"), "s"
         ).select(F.col("t").alias("vec_id"), "component")
+        return (
+            cur.select("vec_id", "component")
+            .unionByName(msgs)
+            .groupBy("vec_id")
+            .agg(F.min("component").alias("component"))
+        )
+
+    while rounds < max_rounds:
+        steps = min(_CC_UNROLL, max_rounds - rounds)
+        rounds += steps
+        stepped = labels
+        for _ in range(steps):
+            stepped = one_step(stepped)
         # tag the current-label branch with its own value so min(old) after
         # the groupBy recovers each vec_id's previous label (exactly one
         # non-null old per vec_id) — the convergence check costs one column,
@@ -882,7 +908,9 @@ def _min_label_loop(labels, edges, n, max_rounds, comp_t, converged):
         obs = Observation()
         new_labels = (
             labels.select("vec_id", "component", F.col("component").alias("old"))
-            .unionByName(msgs.select("vec_id", "component", null_old))
+            .unionByName(
+                stepped.select("vec_id", "component").withColumn("old", null_old)
+            )
             .groupBy("vec_id")
             .agg(F.min("component").alias("component"), F.min("old").alias("old"))
             .observe(
@@ -892,7 +920,7 @@ def _min_label_loop(labels, edges, n, max_rounds, comp_t, converged):
                 ),
             )
             .select("vec_id", "component")
-            # truncate lineage each round or the plan nests one join+agg
+            # truncate lineage each action or the plan nests one join+agg
             # deeper per iteration (see memory: persist-chains leak)
             .localCheckpoint(eager=True)
         )

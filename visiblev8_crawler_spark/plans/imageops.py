@@ -737,9 +737,11 @@ def _mih_pairs(hashes, tau: int):
             .drop("pa", "pb")
         )
 
-    # bucket contents: parallel field arrays derived from ONE sorted
-    # struct list so the three columns stay aligned
-    entry = F.sort_array(F.collect_list(F.struct("gid", "item", "phash")))
+    # bucket contents: parallel field arrays derived from ONE struct list
+    # so the three columns stay aligned; collect order is irrelevant (the
+    # kernel's pair SET is order-invariant and hits are distinct()-ed), so
+    # no per-bucket sort
+    entry = F.collect_list(F.struct("gid", "item", "phash"))
     buckets = (
         index.groupBy("band", "key")
         .agg(entry.alias("rows"))
