@@ -35,6 +35,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -579,60 +580,211 @@ _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 
 
 def _np_popcount64(x: np.ndarray) -> np.ndarray:
-    """Two's-complement popcount of an int64 array (byte-LUT sum; exact).
-    Deliberately NOT np.bitwise_count, which counts bits of |x| and would
-    be wrong for negative XOR results."""
+    """Two's-complement popcount of an int64 array (exact). Deliberately
+    NOT np.bitwise_count of the signed value, which counts bits of |x|
+    and would be wrong for negative XOR results. Without the numpy-2
+    ufunc, a SWAR nibble reduction (the classic Hamming-weight bit
+    trick; exact for every 64-bit pattern, pinned against the byte LUT
+    by test_popcount_twos_complement) — measured 4.5x the byte-LUT
+    gather this repo used first."""
     if hasattr(np, "bitwise_count"):
         return np.bitwise_count(np.ascontiguousarray(x).view(np.uint64)).astype(
             np.int64
         )
-    b = np.ascontiguousarray(x).view(np.uint8)
-    return _POP8[b].reshape(x.shape + (8,)).sum(axis=-1).astype(np.int64)
+    u = np.ascontiguousarray(x).view(np.uint64).copy()
+    u -= (u >> 1) & 0x5555555555555555
+    u = (u & 0x3333333333333333) + ((u >> 2) & 0x3333333333333333)
+    u = (u + (u >> 4)) & 0x0F0F0F0F0F0F0F0F
+    return ((u * 0x0101010101010101) >> 56).astype(np.int64)
 
 
-def _mih_popcount_kernel(batches: Iterator[pd.DataFrame], tau: int):
-    """Per-bucket-pair exact Hamming scoring: each input row carries the
-    parallel (gid, item, phash) arrays of two buckets whose band keys are
-    within the probe radius; emit only cross-gid pairs with popcount <=
-    tau, oriented gid_a < gid_b. Exact integer arithmetic throughout —
-    output-identical to materializing the candidate join and filtering."""
-    for b in batches:
-        out = {"gid_a": [], "item_a": [], "gid_b": [], "item_b": [], "hamming": []}
-        for ga, ia, pa, gb, ib, pb in zip(
-            b["ga"], b["ia"], b["pa"], b["gb"], b["ib"], b["pb"]
-        ):
-            ga = np.asarray(ga, dtype=np.int64)
-            gb = np.asarray(gb, dtype=np.int64)
-            pa = np.asarray(pa, dtype=np.int64)
-            pb = np.asarray(pb, dtype=np.int64)
-            ham = _np_popcount64(pa[:, None] ^ pb[None, :])
-            ii, jj = np.nonzero((ham <= tau) & (ga[:, None] != gb[None, :]))
-            if not len(ii):
-                continue
-            ia = np.asarray(ia, dtype=np.int64)
-            ib = np.asarray(ib, dtype=np.int64)
-            a_g, b_g = ga[ii], gb[jj]
-            a_i, b_i = ia[ii], ib[jj]
-            swap = a_g > b_g
-            a_g2 = np.where(swap, b_g, a_g)
-            b_g2 = np.where(swap, a_g, b_g)
-            a_i2 = np.where(swap, b_i, a_i)
-            b_i2 = np.where(swap, a_i, b_i)
-            out["gid_a"].append(a_g2)
-            out["item_a"].append(a_i2)
-            out["gid_b"].append(b_g2)
-            out["item_b"].append(b_i2)
-            out["hamming"].append(ham[ii, jj])
-        if out["gid_a"]:
-            yield pd.DataFrame(
-                {
-                    "gid_a": np.concatenate(out["gid_a"]),
-                    "item_a": np.concatenate(out["item_a"]),
-                    "gid_b": np.concatenate(out["gid_b"]),
-                    "item_b": np.concatenate(out["item_b"]),
-                    "hamming": np.concatenate(out["hamming"]).astype(np.int32),
-                }
-            )
+_MIH_KERNEL_CHUNK = 2_000_000  # bounds the flattened per-slice candidate arrays
+
+
+def _mih_rendezvous_kernel(batches: "Iterator[pa.RecordBatch]", tau: int):
+    """Exact Hamming scoring of ONE TASK PARTITION of rendezvous entries
+    (hash-partitioned by (band, z): every group is complete within the
+    partition, and one partition holds many groups — a partition-level
+    mapInArrow kernel instead of per-group applyInPandas, whose
+    ~ms-scale per-group Arrow/pandas machinery dominated at tens of
+    thousands of tiny groups; Arrow batches go straight to numpy,
+    skipping the pandas construction both ways). Rows sort once by a packed
+    (band, z, key) int64; within each (band, z) rendezvous group they
+    block by their TRUE key (<= bits+1 distinct keys per group), and a
+    key pair (ka, kb) is scored only in its canonical group
+    z == zstar(ka, kb) — own-block pairs only in their own bucket's
+    group z == k — so each candidate pair is scored EXACTLY ONCE per
+    band: total FLOPs equal the radius-2 bucket-pair enumeration's,
+    while the shuffle stays the flat radius-1 replication. Scoring runs
+    over a flattened candidate index (ragged cross-products of all the
+    partition's allowed block pairs, a 1-D XOR+popcount — no per-block
+    numpy dispatch). Emits cross-gid pairs with popcount <= tau,
+    oriented gid_a < gid_b. Exact integer arithmetic throughout — the
+    emitted set, after the caller's cross-band distinct(), is identical
+    to materializing the radius-2 candidate join and filtering."""
+    bs = [b for b in batches if b.num_rows]
+    if not bs:
+        return
+    tbl = pa.Table.from_batches(bs)
+    del bs
+
+    def _col(name, dt):
+        return tbl.column(name).to_numpy(zero_copy_only=False).astype(dt, copy=False)
+
+    band = _col("band", np.int64)
+    z = _col("z", np.int64)
+    key = _col("key", np.int64)
+    # band < 64, z and key < 2^16 (_mih_layout caps band width at 16
+    # bits): one packed sort key, blocks contiguous, groups contiguous
+    sk = (band << 36) | (z << 18) | key
+    order = np.argsort(sk, kind="stable")
+    sk = sk[order]
+    g = _col("gid", np.int64)[order]
+    it = _col("item", np.int64)[order]
+    ph = _col("phash", np.int64)[order]
+    del tbl, band, z, key
+    blocks, starts, counts = np.unique(sk, return_index=True, return_counts=True)
+    # group boundaries in block space: same (band, z) prefix
+    grp = blocks >> 18
+    cut = np.flatnonzero(grp[1:] != grp[:-1]) + 1
+    g_starts = np.concatenate(([0], cut))
+    g_ends = np.concatenate((cut, [len(blocks)]))
+    bkeys = (blocks & 0x3FFFF).tolist()  # python ints: fast inner loop
+    bcounts = counts.tolist()
+    # allowed block pairs across the whole partition (a == b only for a
+    # group's own block); the t^2 selection loop is pure int math over
+    # t <= bits+1 block keys per group
+    bpa, bpb, tri = [], [], []
+    for gs, ge in zip(g_starts, g_ends):
+        zv = int((blocks[gs] >> 18) & 0x3FFFF)
+        for a in range(gs, ge):
+            ka = bkeys[a]
+            if ka == zv:
+                if bcounts[a] > 1:
+                    bpa.append(a)
+                    bpb.append(a)
+                    tri.append(True)
+            for b in range(a + 1, ge):
+                xk = ka ^ bkeys[b]
+                lb = xk & -xk
+                hb = xk ^ lb
+                if hb:
+                    zs = min(ka ^ lb, ka ^ hb)
+                else:
+                    zs = min(ka, ka ^ lb)
+                if zs == zv:
+                    bpa.append(a)
+                    bpb.append(b)
+                    tri.append(False)
+    if not bpa:
+        return
+    bpa = np.asarray(bpa)
+    bpb = np.asarray(bpb)
+    tri = np.asarray(tri)
+    ca, cb = counts[bpa], counts[bpb]
+    sa, sb = starts[bpa], starts[bpb]
+    c = ca * cb
+    # split oversized block pairs along the A side so every chunk below
+    # is a run of WHOLE pairs bounded by _MIH_KERNEL_CHUNK candidates
+    big = np.flatnonzero(c > _MIH_KERNEL_CHUNK)
+    if len(big):
+        keep_small = np.ones(len(pa), dtype=bool)
+        keep_small[big] = False
+        ex_sa, ex_ca, ex_sb, ex_cb, ex_tri = [], [], [], [], []
+        for p_ in big:
+            rows = max(1, _MIH_KERNEL_CHUNK // int(cb[p_]))
+            for off in range(0, int(ca[p_]), rows):
+                ex_sa.append(int(sa[p_]) + off)
+                ex_ca.append(min(rows, int(ca[p_]) - off))
+                ex_sb.append(int(sb[p_]))
+                ex_cb.append(int(cb[p_]))
+                ex_tri.append(bool(tri[p_]))
+        sa = np.concatenate((sa[keep_small], np.asarray(ex_sa, dtype=np.int64)))
+        ca = np.concatenate((ca[keep_small], np.asarray(ex_ca, dtype=np.int64)))
+        sb = np.concatenate((sb[keep_small], np.asarray(ex_sb, dtype=np.int64)))
+        cb = np.concatenate((cb[keep_small], np.asarray(ex_cb, dtype=np.int64)))
+        tri = np.concatenate((tri[keep_small], np.asarray(ex_tri, dtype=bool)))
+        c = ca * cb
+    csum = np.cumsum(c)
+    npairs = len(c)
+    # preallocated chunk workspace, reused across chunks: the hot loop is
+    # memory-bound, and per-op numpy allocations (page-fault zeroing of
+    # fresh ~16 MB buffers, 32 concurrent worker processes) dominated the
+    # arithmetic before buffers were pinned (guide §4.2 — heavyweight
+    # init once, not per batch)
+    xa = np.empty(_MIH_KERNEL_CHUNK, dtype=np.int64)
+    xb = np.empty(_MIH_KERNEL_CHUNK, dtype=np.int64)
+    tb = np.empty(_MIH_KERNEL_CHUNK, dtype=np.uint64)
+    p0 = 0
+    while p0 < npairs:
+        # widest run of whole pairs within the chunk budget
+        target = (csum[p0 - 1] if p0 else 0) + _MIH_KERNEL_CHUNK
+        p1 = max(p0 + 1, int(np.searchsorted(csum, target, side="right")))
+        cs, cas, cbs = c[p0:p1], ca[p0:p1], cb[p0:p1]
+        sas, sbs, tris = sa[p0:p1], sb[p0:p1], tri[p0:p1]
+        p0 = p1
+        total = int(cs.sum())
+        # flattened (i, j) of all the run's grids via repeat/arange only —
+        # no per-candidate division (2x the searchsorted+divmod mapping);
+        # int32 positions (partition row counts are far below 2^31)
+        ca_tot = int(cas.sum())
+        row0 = np.repeat((np.cumsum(cas) - cas).astype(np.int32), cas)
+        arows = np.repeat(sas.astype(np.int32), cas) + (
+            np.arange(ca_tot, dtype=np.int32) - row0
+        )
+        cb_rows = np.repeat(cbs, cas)
+        i = np.repeat(arows, cb_rows)
+        rowstart = np.cumsum(cb_rows) - cb_rows
+        j = np.repeat(sbs.astype(np.int32), cs) + (
+            np.arange(total, dtype=np.int32)
+            - np.repeat(rowstart.astype(np.int32), cb_rows)
+        )
+        # exact SWAR popcount of ph[i]^ph[j] into pinned buffers
+        vxa, vxb = xa[:total], xb[:total]
+        np.take(ph, i, out=vxa)
+        np.take(ph, j, out=vxb)
+        np.bitwise_xor(vxa, vxb, out=vxa)
+        u, t = vxa.view(np.uint64), tb[:total]
+        np.right_shift(u, 1, out=t)
+        t &= 0x5555555555555555
+        u -= t
+        np.right_shift(u, 2, out=t)
+        t &= 0x3333333333333333
+        u &= 0x3333333333333333
+        u += t
+        np.right_shift(u, 4, out=t)
+        u += t
+        u &= 0x0F0F0F0F0F0F0F0F
+        u *= 0x0101010101010101
+        np.right_shift(u, 56, out=u)
+        # survivor-first: the tau filter keeps ~0.1%, so compress indices
+        # before every other gather/compare
+        kk = np.flatnonzero(u <= tau)
+        if not len(kk):
+            continue
+        ii, jj = i[kk], j[kk]
+        ham = u[kk].astype(np.int32)
+        fine = g[ii] != g[jj]
+        # own block: each unordered pair once (map survivors to their
+        # block pair by position — survivor-sized, not candidate-sized)
+        trik = tris[np.searchsorted(np.cumsum(cs), kk, side="right")]
+        fine &= ~trik | (jj > ii)
+        ii, jj, ham = ii[fine], jj[fine], ham[fine]
+        if not len(ii):
+            continue
+        a_g, b_g = g[ii], g[jj]
+        a_i, b_i = it[ii], it[jj]
+        swap = a_g > b_g
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.where(swap, b_g, a_g)),
+                pa.array(np.where(swap, b_i, a_i)),
+                pa.array(np.where(swap, a_g, b_g)),
+                pa.array(np.where(swap, a_i, b_i)),
+                pa.array(ham),
+            ],
+            names=["gid_a", "item_a", "gid_b", "item_b", "hamming"],
+        )
 
 
 def _mih_pairs(hashes, tau: int):
@@ -649,14 +801,19 @@ def _mih_pairs(hashes, tau: int):
     Round-6 execution shape (guide §2.3/§4.2; was: explode every ITEM into
     its full radius-2 probe neighborhood and equi-join against the index —
     Σ probes x occupancy ≈ 1.2B materialized candidate rows at the
-    driver's sf1.0 for the video op, then distinct + popcount). The
-    neighborhood explosion now runs over the DISTINCT-KEY relation
-    (<= 2^bits rows/band, not n rows), bucket contents are grouped once
-    per (band, key), and a numpy kernel popcount-filters each
-    within-radius bucket pair — candidate pairs never exist as rows, only
-    hits do. Candidate coverage is identical: pair (x, y) collides iff
-    some band's keys differ by <= 2 bits, which is exactly membership of
-    an emitted bucket pair."""
+    driver's sf1.0 for the video op, then distinct + popcount). Radius-1
+    RENDEZVOUS: two band keys within Hamming 2 always share a radius-1
+    neighbor z (flip one of the differing bits; z = the key itself when
+    they differ by <= 1), so replicating every entry to its 1 + bits
+    radius-1 key flips and scoring each (band, z) group with a numpy
+    popcount kernel sees every radius-2 candidate pair — candidate pairs
+    never exist as rows, only hits do, and the replication factor is the
+    radius-1 neighborhood (~12), not the radius-2 bucket-pair degree
+    (~60) the first kernel cut shipped through its bucket-payload joins
+    (no collect_list buckets, no list-column Arrow traffic, one flat
+    hash shuffle). Candidate coverage is identical: pair (x, y) collides
+    iff some band's keys differ by <= 2 bits, which is exactly
+    co-membership of some rendezvous group."""
     layout = _mih_layout(tau)
     assert len(layout) * 3 - 1 >= tau, "pigeonhole bound violated"
 
@@ -680,31 +837,31 @@ def _mih_pairs(hashes, tau: int):
     index = hashes.select(
         "gid", "item", "phash", F.explode(bands).alias("bk")
     ).select("gid", "item", "phash", "bk.band", "bk.key")
-    # the radius-2 mask neighborhood lives in a tiny broadcast dimension
-    # (m * ~C(bits,2) rows — a literal array-of-structs would blow the
-    # 64KB codegen limit, see round-5 note), shared by both regimes below
     spark = hashes.sparkSession
-    mask_rows = [
-        (b, m)
-        for b, pos in enumerate(layout)
-        for m in _probe_masks(len(pos))
-    ]
-    masks = F.broadcast(
-        spark.createDataFrame(mask_rows, "band int, mask int")
-    )
 
-    # Regime switch (round 6): the bucket-pair kernel's key-neighborhood
-    # machinery costs Θ(2^bits x |neighborhood|) regardless of n, so at
-    # low bucket occupancy (n ≲ 4 rows/bucket) the round-5 row-level
-    # probe join is strictly cheaper — and at high occupancy it explodes
-    # as Σocc² x neighborhood (1.2B joined rows at 150k hashes) while the
-    # kernel stays flat. Both paths emit the identical pair set (same
-    # candidate condition, exact popcount filter), so the branch is purely
-    # an execution choice, like AQE picking a join strategy. `hashes` is
-    # persisted by every caller, so the count is a cache read.
+    # Regime switch (round 6): at low bucket occupancy (n ≲ 4
+    # rows/bucket) the round-5 row-level probe join is cheap and its plan
+    # is the one the fixture-scale driver oracles exercise; at high
+    # occupancy it explodes as Σ probes x occupancy (1.2B joined rows at
+    # 150k hashes) while the rendezvous kernel's replication stays a flat
+    # ~12x of the entry relation. Both paths emit the identical pair set
+    # (same candidate condition, exact popcount filter), so the branch is
+    # purely an execution choice, like AQE picking a join strategy.
+    # `hashes` is persisted by every caller, so the count is a cache read.
     n_hashes = hashes.count()
     max_bits = max(len(pos) for pos in layout)
     if n_hashes <= _MIH_KERNEL_MIN_OCC * (1 << max_bits):
+        # the radius-2 mask neighborhood lives in a tiny broadcast
+        # dimension (m * ~C(bits,2) rows — a literal array-of-structs
+        # would blow the 64KB codegen limit, see round-5 note)
+        mask_rows = [
+            (b, m)
+            for b, pos in enumerate(layout)
+            for m in _probe_masks(len(pos))
+        ]
+        masks = F.broadcast(
+            spark.createDataFrame(mask_rows, "band int, mask int")
+        )
         probe = index.join(masks, "band").select(
             "gid", "item", "phash", "band",
             F.col("key").bitwiseXOR(F.col("mask")).alias("key"),
@@ -737,62 +894,43 @@ def _mih_pairs(hashes, tau: int):
             .drop("pa", "pb")
         )
 
-    # bucket contents: parallel field arrays derived from ONE struct list
-    # so the three columns stay aligned; collect order is irrelevant (the
-    # kernel's pair SET is order-invariant and hits are distinct()-ed), so
-    # no per-bucket sort
-    entry = F.collect_list(F.struct("gid", "item", "phash"))
-    buckets = (
-        index.groupBy("band", "key")
-        .agg(entry.alias("rows"))
-        .select(
-            "band",
-            "key",
-            F.col("rows.gid").alias("gids"),
-            F.col("rows.item").alias("items"),
-            F.col("rows.phash").alias("phashes"),
-        )
-        .persist()  # feeds the key-pair derivation and both join sides
+    # radius-1 rendezvous: replicate each entry to key ^ m for every
+    # weight-<=1 mask m of its band (1 + bits copies); the mask dimension
+    # is a tiny broadcast, the only exchange is the (band, z) group hash
+    # shuffle of flat scalar rows
+    r1_rows = [
+        (b, m)
+        for b, pos in enumerate(layout)
+        for m in _probe_masks(len(pos), radius=1)
+    ]
+    r1_masks = F.broadcast(
+        spark.createDataFrame(r1_rows, "band int, mask int")
     )
-    # the radius-2 neighborhood explodes DISTINCT KEYS via the shared mask
-    # dimension; least/greatest + distinct keep each unordered bucket pair
-    # once (mask 0 = self pair)
-    neighbor = F.col("key").bitwiseXOR(F.col("mask"))
-    kp = (
-        buckets.select("band", "key")
-        .join(masks, "band")
-        .select(
-            "band",
-            F.least(F.col("key"), neighbor).alias("k1"),
-            F.greatest(F.col("key"), neighbor).alias("k2"),
-        )
-        .distinct()
+    # exact casts: mapInArrow is strict about physical types (callers
+    # pass e.g. a literal-int item), and the flat all-numeric relation is
+    # exactly what Arrow ships cheapest
+    entries = index.join(r1_masks, "band").select(
+        F.col("gid").cast("long").alias("gid"),
+        F.col("item").cast("long").alias("item"),
+        F.col("phash").cast("long").alias("phash"),
+        F.col("band").cast("int").alias("band"),
+        F.col("key").cast("int").alias("key"),
+        F.col("key").bitwiseXOR(F.col("mask")).cast("int").alias("z"),
     )
-    b1 = buckets.select(
-        "band",
-        F.col("key").alias("k1"),
-        F.col("gids").alias("ga"),
-        F.col("items").alias("ia"),
-        F.col("phashes").alias("pa"),
-    )
-    b2 = buckets.select(
-        "band",
-        F.col("key").alias("k2"),
-        F.col("gids").alias("gb"),
-        F.col("items").alias("ib"),
-        F.col("phashes").alias("pb"),
-    )
-    pairs_in = (
-        kp.join(b1, ["band", "k1"])
-        .join(b2, ["band", "k2"])
-        .select("ga", "ia", "pa", "gb", "ib", "pb")
-    )
-    hits = pairs_in.mapInPandas(
-        lambda it: _mih_popcount_kernel(it, tau),
+    # hash-partition by group key, then a PARTITION-level kernel: each
+    # (band, z) group lands whole in one task, and one task scores all
+    # its groups in one numpy pass — per-group applyInPandas machinery
+    # (one Arrow batch + pandas frame per group) cost ~ms x tens of
+    # thousands of near-empty groups; mapInArrow skips the pandas
+    # conversion both ways (measured ~2x on the buffered round-trip)
+    hits = entries.repartition("band", "z").mapInArrow(
+        lambda it: _mih_rendezvous_kernel(it, tau),
         "gid_a long, item_a long, gid_b long, item_b long, hamming int",
     )
-    # multi-band / self-bucket-double-orientation dedupe — hits-sized, not
-    # candidate-sized
+    # multi-band dedupe (the kernel's canonical-z rule already makes hits
+    # unique within a band) — hits-sized, not candidate-sized; the
+    # hamming column is exact in every copy, so duplicate rows are
+    # byte-identical
     return hits.distinct()
 
 
