@@ -761,7 +761,7 @@ def embedding_neardup_components(spark, sf_dir):
         .select(F.col("vec_id"), F.col("vec_id").alias("component"))
         .localCheckpoint(eager=True)
     )
-    labels, rounds, converged = min_label_components(labels, edges)
+    labels, rounds, converged = min_label_components(labels, edges, contract=True)
     if not converged:
         # returning possibly-wrong components silently is worse than failing
         raise RuntimeError(
@@ -770,9 +770,71 @@ def embedding_neardup_components(spark, sf_dir):
     return labels
 
 
-def min_label_components(labels, edges, extra_rounds: int = 2):
+_CONTRACT_ROWS_PER_TASK = 2_000_000  # edge rows per contraction task
+
+
+def _contract_edges(edges):
+    """Partition-local contraction pre-pass (optimization round 6, guide
+    §2.2): run min-label propagation to the LOCAL fixpoint inside each
+    task partition (vectorized numpy, no shuffle) and replace the
+    partition's edge set with a symmetric star from each node to its
+    partition-local component minimum. The union of per-partition
+    spanning stars preserves global connectivity on the same node set,
+    so the distributed loop computes identical components — but local
+    chains collapse to depth 1 before the first shuffle, cutting the
+    round count (each distributed round costs fixed scheduler latency,
+    which dominates on the tiny label relations).
+
+    SYMMETRIC-INPUT ONLY: treats edges as undirected. Callers that rely
+    on min_label_components' directed-propagation semantics for
+    asymmetric edge lists must not contract first (both production
+    callers symmetrize)."""
+    import numpy as np
+    import pandas as pd
+
+    s_field, t_field = edges.schema.fields[:2]
+    schema = f"{s_field.name} {s_field.dataType.simpleString()}, " \
+             f"{t_field.name} {t_field.dataType.simpleString()}"
+    s_name, t_name = s_field.name, t_field.name
+
+    def kern(batches):
+        dfs = [b for b in batches if len(b)]
+        if not dfs:
+            return
+        pdf = pd.concat(dfs, ignore_index=True) if len(dfs) > 1 else dfs[0]
+        s = pdf[s_name].to_numpy()
+        t = pdf[t_name].to_numpy()
+        nodes, inv = np.unique(np.concatenate((s, t)), return_inverse=True)
+        si, ti = inv[: len(s)], inv[len(s):]
+        lab = np.arange(len(nodes))
+        # local min-label propagation + pointer jumping; monotone
+        # decreasing, so the loop terminates at the local fixpoint
+        while True:
+            new = lab.copy()
+            np.minimum.at(new, ti, lab[si])
+            np.minimum.at(new, si, lab[ti])
+            new = np.minimum(new, new[new])
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        root = nodes[lab]
+        mask = root != nodes
+        r, v = root[mask], nodes[mask]
+        yield pd.DataFrame(
+            {s_name: np.concatenate((r, v)), t_name: np.concatenate((v, r))}
+        )
+
+    return edges.mapInPandas(kern, schema)
+
+
+def min_label_components(labels, edges, extra_rounds: int = 2, contract: bool = False):
     """Min-label propagation with pointer jumping over (vec_id, component)
     labels and (s, t) edges. Returns (labels, rounds_used, converged).
+
+    ``contract=True`` (symmetric edge lists only — see _contract_edges)
+    runs the partition-local contraction pre-pass before the distributed
+    loop; components and output are identical, rounds collapse toward
+    the cross-partition diameter.
 
     Scale shape (one iteration = one plan, one action):
     - pointer jumping (label(label(v))) roughly halves the remaining distance
@@ -836,6 +898,28 @@ def min_label_components(labels, edges, extra_rounds: int = 2):
     # a full-width shuffle. Restored in finally — the surrounding query is
     # unaffected.
     sess = labels.sparkSession
+    if contract:
+        # one no-shuffle pass over the (checkpointed) edges; the star
+        # list replaces the edge list for every loop round below.
+        # Contraction partitions size by a per-task row budget, NOT the
+        # storage partitioning: the pre-pass is vectorized numpy (a
+        # ~2M-edge task contracts in well under a second), and FEWER,
+        # larger partitions co-locate more of each component, collapsing
+        # the distributed round count (measured at 202k rows: 13-part
+        # contract 14 rounds / no better than the plain loop; 1-part
+        # contract 4 rounds, 6.8 s -> 2.9 s). A 10^9-edge graph still
+        # fans out to cluster width.
+        sess = labels.sparkSession
+        c_parts = max(
+            1,
+            min(
+                sess.sparkContext.defaultParallelism,
+                -(-edges.count() // _CONTRACT_ROWS_PER_TASK),
+            ),
+        )
+        edges = _contract_edges(edges.coalesce(c_parts)).localCheckpoint(
+            eager=True
+        )
     n_edges = edges.count()  # edges is checkpointed by every caller
     loop_parts = max(2, min(
         sess.sparkContext.defaultParallelism, (n + n_edges) // 50_000 + 1

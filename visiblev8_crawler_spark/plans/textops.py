@@ -1136,7 +1136,7 @@ def doc_neardup_canonicalize(spark, sf_dir):
     labels = docs.select(
         F.col("doc_id").alias("vec_id"), F.col("doc_id").alias("component")
     ).localCheckpoint(eager=True)
-    labels, rounds, converged = min_label_components(labels, edges)
+    labels, rounds, converged = min_label_components(labels, edges, contract=True)
     if not converged:
         raise RuntimeError(
             f"canonicalize: component propagation did not converge in {rounds} rounds"
