@@ -210,24 +210,39 @@ def test_gopher_repetition_map_only(spark):
 
 
 def test_incremental_dedup_broadcasts_delta_only(spark):
-    """PLANS.md §13: the incremental dedup ops probe the corpus index by
-    BROADCASTING the delta's bucket entries (index-probe join + delta
-    self-join — the two hinted joins), and nothing else. With the
-    auto-broadcast threshold disabled, any surviving BroadcastHashJoin is
-    a hint, so the count pins the shape: exactly the 2 delta broadcasts;
-    the unhinted joins (embedding score-back) may shuffle, but no
-    nested-loop or cartesian fallback is tolerated."""
+    """PLANS.md §13: the incremental dedup ops never reshuffle the
+    corpus; only the delta (bucket entries / vectors) is broadcast.
+    minhash_lsh_pairs_incremental probes the corpus index with the two
+    hinted delta-broadcast joins (index-probe + delta self-join). With
+    the auto-broadcast threshold disabled, any surviving
+    BroadcastHashJoin is a hint, so the count pins the shape: exactly
+    the 2 delta broadcasts; the unhinted joins may shuffle, but no
+    nested-loop or cartesian fallback is tolerated.
+
+    Round 6: embedding_lsh_neardup_pairs_incremental went one further —
+    the delta bucket index rides a PYTHON broadcast into a single
+    map-only corpus pass that recomputes band signatures in-kernel, so
+    its plan has ZERO joins and zero data-keyed exchanges (only the
+    conditional scan-fanout round-robin is allowed), which this lock now
+    pins instead."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        for name in (
-            "minhash_lsh_pairs_incremental",
-            "embedding_lsh_neardup_pairs_incremental",
-        ):
-            p = _plan(entry_mod.queries()[name](spark, SF_DIR))
-            assert p.count("BroadcastHashJoin") == 2, (name, p)
-            assert "BroadcastNestedLoopJoin" not in p, (name, p)
-            assert "CartesianProduct" not in p, (name, p)
+        p = _plan(
+            entry_mod.queries()["minhash_lsh_pairs_incremental"](spark, SF_DIR)
+        )
+        assert p.count("BroadcastHashJoin") == 2, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "CartesianProduct" not in p, p
+        p = _plan(
+            entry_mod.queries()["embedding_lsh_neardup_pairs_incremental"](
+                spark, SF_DIR
+            )
+        )
+        assert "Join" not in p, p
+        assert "hashpartitioning" not in p and "rangepartitioning" not in p, p
+        assert "Aggregate" not in p and "Window" not in p, p
+        assert "MapInPandas" in p, p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 

@@ -626,105 +626,139 @@ _NEARDUP_INCR_ORACLE_SQL = f"""
     None,  # pytest-oracled via _NEARDUP_INCR_ORACLE_SQL + full-recompute
            # equivalence (rotation policy: newborn, driver window next round)
     "INCREMENTAL embedding near-dup — the vector twin of "
-    "minhash_lsh_pairs_incremental: only the ingest delta's bucket "
-    "entries are computed fresh and BROADCAST against the corpus index "
-    "(derived in-plan here, a stored table in production), plus a "
-    "delta self-join for new x new; exact cosine scores only the "
-    "candidate pairs. At 100 TB this is the per-batch dedup step of the "
-    "embedding ingest loop: the index side never reshuffles, fresh "
-    "compute and broadcast are both delta-sized. Equal to the full "
-    "recompute restricted to delta-touching pairs — CI-gated.",
+    "minhash_lsh_pairs_incremental: the ingest delta (vectors + bucket "
+    "index, delta-sized by construction) is BROADCAST and the corpus "
+    "streams through ONE map-only pass that recomputes each row's band "
+    "signatures in-kernel, probes the broadcast delta buckets, and "
+    "exact-cosine-scores the candidates — the corpus side never "
+    "reshuffles, no candidate pair ever exists as a row, fresh compute "
+    "and broadcast are both delta-sized. At 100 TB this is the "
+    "per-batch dedup step of the embedding ingest loop. Equal to the "
+    "full recompute restricted to delta-touching pairs — CI-gated.",
 )
 def embedding_lsh_neardup_pairs_incremental(spark, sf_dir):
+    # Round-6 shape (guide §2.2/§2.3; second cut). The first cut
+    # materialized the delta-broadcast candidate joins as 8.5M JVM pair
+    # rows at sf1 scale, pushed them through a collect_set exchange and a
+    # corpus-side embedding join (~11 s JVM-side before scoring). But
+    # every candidate's vec_b side is IN THE DELTA, and the band
+    # signature is a deterministic sign pattern of the row's own vector —
+    # so the kernel can discover each corpus row's candidates ITSELF from
+    # a broadcast delta bucket index, and the whole op collapses to one
+    # map-only corpus scan: zero joins, zero pair-level exchanges, the
+    # only exchange in the plan is the conditional fanout round-robin.
+    # Signature parity: the in-kernel sig is the same exact `v[axis] > 0`
+    # comparison _sig_expr_spark evaluates (no float arithmetic), and
+    # cosines use the same sequential fold — bit-identical output, pinned
+    # by the oracle replica + full-recompute equivalence + planted-delta
+    # gates.
+    import numpy as np
+    import pandas as pd
+
     bands, r, tau = 8, 6, 0.30
     emb = load(spark, sf_dir, "embeddings")
     max_id = emb.agg(F.max("vec_id")).collect()[0][0]
     cursor = (int(max_id) + 1) * 8 // 10
-    # delta filtered BEFORE the band explode; persisted because it feeds
-    # three joins (index probe + both self-join sides)
-    idn = _band_ids(emb.filter(F.col("vec_id") >= cursor), bands, r).persist()
-    ido = _band_ids(emb.filter(F.col("vec_id") < cursor), bands, r)
-    new_old = (
-        ido.select(F.col("vec_id").alias("vec_a"), "band", "sig")
-        .join(
-            F.broadcast(idn.select(F.col("vec_id").alias("vec_b"), "band", "sig")),
-            ["band", "sig"],
-        )
-        .select("vec_a", "vec_b")
-    )
-    new_new = (
-        idn.select(F.col("vec_id").alias("vec_a"), "band", "sig")
-        .join(
-            F.broadcast(idn.select(F.col("vec_id").alias("vec_b"), "band", "sig")),
-            ["band", "sig"],
-        )
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-    )
-    # Round-6 scoring shape (guide §2.3, measured at sf1.0 scale: 8.5M
-    # candidate pairs whose distinct() + per-pair embedding joins moved
-    # ~9 GB through Arrow): every candidate's vec_b side is IN THE DELTA by
-    # construction, so the delta embeddings (delta-sized, like the band
-    # entries the candidate joins already broadcast) ride a Python
-    # broadcast into the scoring kernel, candidates group per vec_a
-    # (collect_set subsumes the old distinct() — one shuffle of id pairs,
-    # no pair-level exchange), and each corpus vector crosses to Python
-    # exactly once. Cosines use the same sequential fold (bit-identical);
-    # the full-recompute-restricted equivalence gate pins the output.
-    import numpy as np
-    import pandas as pd
-
+    axes = _band_axes(bands, r)
     delta_rows = emb.filter(F.col("vec_id") >= cursor).select(
         "vec_id", "embedding"
     ).collect()  # delta-sized by construction (see docstring)
-    dmap = {
-        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
-        for r in delta_rows
-    }
-    bdelta = spark.sparkContext.broadcast(dmap)
-    cand = new_old.unionByName(new_new)
-    grouped = cand.groupBy("vec_a").agg(F.collect_set("vec_b").alias("vbs"))
-    wide = grouped.join(
-        emb.select(F.col("vec_id").alias("vec_a"), "embedding"), "vec_a"
+    d_ids = np.array([int(row["vec_id"]) for row in delta_rows], dtype=np.int64)
+    order = np.argsort(d_ids, kind="stable")
+    d_ids = d_ids[order]
+    if len(order):
+        D = np.stack(
+            [np.asarray(delta_rows[i]["embedding"], dtype=np.float64) for i in order]
+        )
+    else:
+        D = np.zeros((0, _DIM), dtype=np.float64)
+    # delta bucket index: (band, sig) -> delta row positions, sig bits by
+    # the exact _sig_expr_spark sign rule
+    dbuckets: dict = {}
+    for b_i, ax in enumerate(axes):
+        sigs = np.zeros(len(d_ids), dtype=np.int64)
+        for j, a_ in enumerate(ax):
+            sigs += np.where(D[:, a_ - 1] > 0, 2 ** j, 0)
+        for s_val in np.unique(sigs):
+            dbuckets[(b_i, int(s_val))] = np.flatnonzero(sigs == s_val)
+    bdelta = spark.sparkContext.broadcast(
+        {"ids": d_ids, "D": D, "nb": _np_fold_norms(D), "buckets": dbuckets}
     )
 
     def kern(batches):
-        dm = bdelta.value
-        norms = {}
-
-        def nb_of(vid):
-            if vid not in norms:
-                norms[vid] = _np_fold_norms(dm[vid][None, :])[0]
-            return norms[vid]
-
+        v = bdelta.value
+        ids, D, nbD, bk = v["ids"], v["D"], v["nb"], v["buckets"]
+        empty = np.zeros(0, dtype=np.int64)
         for b in batches:
-            out_a, out_b, out_c = [], [], []
-            for vec_a, ea, vbs in zip(b["vec_a"], b["embedding"], b["vbs"]):
-                A = np.asarray(ea, dtype=np.float64)
-                vbs = [int(v) for v in vbs]
-                B = np.stack([dm[v] for v in vbs])
-                acc = np.zeros(len(vbs), dtype=np.float64)
-                for d in range(A.shape[0]):
-                    acc += A[d] * B[:, d]
-                na = _np_fold_norms(A[None, :])[0]
-                nbv = np.array([nb_of(v) for v in vbs])
-                cos = acc / (na * nbv)
+            nrows = len(b)
+            if not nrows or not len(ids):
+                continue
+            A = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in b["embedding"]]
+            )
+            va = b["vec_id"].to_numpy(dtype=np.int64)
+            # batch band signatures, same sign rule as the delta index
+            bsigs = np.zeros((bands, nrows), dtype=np.int64)
+            for b_i, ax in enumerate(axes):
+                for j, a_ in enumerate(ax):
+                    bsigs[b_i] += np.where(A[:, a_ - 1] > 0, 2 ** j, 0)
+            # per-row candidate set: union of the row's delta buckets
+            # (np.unique subsumes the old cross-band collect_set); for
+            # delta rows only strictly-newer partners (vec_b = max side)
+            cands = []
+            counts = np.empty(nrows, dtype=np.int64)
+            for i in range(nrows):
+                ps = [
+                    p
+                    for b_i in range(bands)
+                    if len(p := bk.get((b_i, int(bsigs[b_i, i])), empty))
+                ]
+                c = np.unique(np.concatenate(ps)) if ps else empty
+                if va[i] >= cursor:
+                    c = c[ids[c] > va[i]]
+                cands.append(c)
+                counts[i] = len(c)
+            total = int(counts.sum())
+            if not total:
+                continue
+            pos = np.concatenate([c for c in cands if len(c)])
+            row = np.repeat(np.arange(nrows), counts)
+            # sequential-fold cosine, elementwise across candidates
+            # (identical per-element multiply/add order -> bit-identical),
+            # chunked with per-dimension gathers into pinned buffers so no
+            # (candidates x dim) matrix is ever materialized
+            Af = np.asfortranarray(A)
+            Df = np.asfortranarray(D)
+            na = _np_fold_norms(A)
+            ch = min(total, 1_000_000)
+            t1 = np.empty(ch, dtype=np.float64)
+            t2 = np.empty(ch, dtype=np.float64)
+            for lo in range(0, total, ch):
+                hi = min(lo + ch, total)
+                row_c, pos_c = row[lo:hi], pos[lo:hi]
+                m = hi - lo
+                v1, v2 = t1[:m], t2[:m]
+                acc = np.zeros(m, dtype=np.float64)
+                for d in range(A.shape[1]):
+                    np.take(Af[:, d], row_c, out=v1)
+                    np.take(Df[:, d], pos_c, out=v2)
+                    v1 *= v2
+                    acc += v1
+                cos = acc / (na[row_c] * nbD[pos_c])
                 with np.errstate(invalid="ignore"):
                     keep = (cos >= tau) | np.isnan(cos)
                 if keep.any():
-                    out_a.append(np.full(int(keep.sum()), int(vec_a), dtype=np.int64))
-                    out_b.append(np.asarray(vbs, dtype=np.int64)[keep])
-                    out_c.append(cos[keep])
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "vec_a": np.concatenate(out_a),
-                        "vec_b": np.concatenate(out_b),
-                        "cos_raw": np.concatenate(out_c),
-                    }
-                )
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": va[row_c[keep]],
+                            "vec_b": ids[pos_c[keep]],
+                            "cos_raw": cos[keep],
+                        }
+                    )
 
-    scored = wide.mapInPandas(kern, "vec_a long, vec_b long, cos_raw double")
+    scored = fanout(emb.select("vec_id", "embedding")).mapInPandas(
+        kern, "vec_a long, vec_b long, cos_raw double"
+    )
     return scored.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
 
 
