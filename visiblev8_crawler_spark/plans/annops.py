@@ -439,6 +439,29 @@ def _bucket_sorted_xn(pdf):
 
 _KERNEL_CHUNK = 1024  # bounds the (chunk x occ) score matrix to ~8 MB
 
+# BLAS-screen margin (round 6, guide §4.2): the in-bucket kernels first
+# rank/filter on a BLAS float64 gemm cosine — |gemm - sequential fold| is
+# bounded by dim * u * (Σ|a_i b_i|) / (na*nb) ~ 64 * 1.1e-16 ~ 7e-15 for
+# ANY summation order (standard dot-product error bound), so a 1e-9
+# margin is 5 orders conservative — then recompute the EXACT sequential
+# fold only for screen survivors. Survivors are the emitted rows (plus a
+# vanishing overshoot), so the 64-pass fold matrix that dominated the
+# kernels is replaced by one gemm + a survivor-sized fold; every emitted
+# cosine is still the bit-exact fold value.
+_SCREEN_MARGIN = 1e-9
+
+
+def _np_fold_pairs(X, ii, jj):
+    """Exact sequential-fold dot of row pairs (X[ii[p]], X[jj[p]]) — the
+    1-D analogue of _np_fold_dot (identical per-element multiply/add
+    order, so identical rounding)."""
+    import numpy as np
+
+    acc = np.zeros(len(ii), dtype=np.float64)
+    for d in range(X.shape[1]):
+        acc += X[ii, d] * X[jj, d]
+    return acc
+
 
 def _bucket_tau_pairs(pdf, tau):
     """All (vec_a < vec_b, cos_raw) pairs of one LSH bucket with raw cosine
@@ -457,14 +480,25 @@ def _bucket_tau_pairs(pdf, tau):
     outs = []
     for s in range(0, n, _KERNEL_CHUNK):
         e = min(s + _KERNEL_CHUNK, n)
-        cos = _np_fold_dot(X[s:e], X) / (nrm[s:e, None] * nrm[None, :])
+        # BLAS screen (see _SCREEN_MARGIN): a candidate passing the exact
+        # rule cos >= tau must screen at tau - margin; NaN always passes
+        approx = (X[s:e] @ X.T) / (nrm[s:e, None] * nrm[None, :])
         with np.errstate(invalid="ignore"):
-            keep = (cos >= tau) | np.isnan(cos)
+            keep = (approx >= tau - _SCREEN_MARGIN) | np.isnan(approx)
         keep &= np.arange(n)[None, :] > np.arange(s, e)[:, None]  # j > i
         ii, jj = np.nonzero(keep)
-        if len(ii):
+        if not len(ii):
+            continue
+        # exact sequential-fold cosine for survivors; the EXACT rule
+        # decides emission, so the output set and values are identical to
+        # the full fold matrix
+        cos = _np_fold_pairs(X, s + ii, jj) / (nrm[s + ii] * nrm[jj])
+        with np.errstate(invalid="ignore"):
+            fin = (cos >= tau) | np.isnan(cos)
+        if fin.any():
             outs.append(pd.DataFrame({
-                "vec_a": ids[s + ii], "vec_b": ids[jj], "cos_raw": cos[ii, jj],
+                "vec_a": ids[s + ii[fin]], "vec_b": ids[jj[fin]],
+                "cos_raw": cos[fin],
             }))
     return pd.concat(outs, ignore_index=True) if outs else empty
 
@@ -491,24 +525,35 @@ def _bucket_topk_pairs(pdf, k, slack=2e-6):
     outs = []
     for s in range(0, n, _KERNEL_CHUNK):
         e = min(s + _KERNEL_CHUNK, n)
-        cos = _np_fold_dot(X[s:e], X) / (nrm[s:e, None] * nrm[None, :])
+        # BLAS screen (see _SCREEN_MARGIN). The k-th order statistic is
+        # 1-Lipschitz under a sup-norm perturbation, so every candidate
+        # the exact rule keeps (exact >= kth_exact - slack) screens at
+        # approx >= kth_approx - slack - 2*margin. The screen KEEP-SET is
+        # emitted outright (with exact fold cosines): it is a superset of
+        # the exact-rule keeps, and the keep-set contract is containment
+        # of the bucket's true top-k — the downstream exact global window
+        # ranks and cuts to k, so a few extra locally-kept rows cannot
+        # change the query output.
+        approx = (X[s:e] @ X.T) / (nrm[s:e, None] * nrm[None, :])
         loc = np.arange(e - s)
-        cloc = cos.copy()
-        cloc[loc, np.arange(s, e)] = -np.inf  # mask self for the threshold
+        approx[loc, np.arange(s, e)] = -np.inf  # mask self
         if n - 1 <= k:
             thresh = np.full(e - s, -np.inf)
         else:
             with np.errstate(invalid="ignore"):
-                kth = np.partition(cloc, n - k, axis=1)[:, n - k]
-            thresh = kth - slack
+                kth = np.partition(approx, n - k, axis=1)[:, n - k]
+            thresh = kth - slack - 2 * _SCREEN_MARGIN
             thresh[np.isnan(kth)] = -np.inf
         with np.errstate(invalid="ignore"):
-            keep = (cloc >= thresh[:, None]) | np.isnan(cloc)
+            keep = (approx >= thresh[:, None]) | np.isnan(approx)
         keep[loc, np.arange(s, e)] = False
         ii, jj = np.nonzero(keep)
         if len(ii):
+            # exact sequential-fold cosines for the kept rows — emitted
+            # values are bit-identical to the full fold matrix's
+            cos = _np_fold_pairs(X, s + ii, jj) / (nrm[s + ii] * nrm[jj])
             outs.append(pd.DataFrame({
-                "qid": ids[s + ii], "nid": ids[jj], "cos_raw": cos[ii, jj],
+                "qid": ids[s + ii], "nid": ids[jj], "cos_raw": cos,
             }))
     return pd.concat(outs, ignore_index=True) if outs else empty
 
