@@ -850,6 +850,13 @@ def embedding_neardup_components(spark, sf_dir):
 
 
 _CONTRACT_ROWS_PER_TASK = 2_000_000  # edge rows per contraction task
+# contraction pays ~2 fixed scheduler actions; below this edge count the
+# plain loop converges in a handful of cheap micro-rounds and the
+# pre-pass is pure overhead (measured: 2.1k-edge fixture graph converges
+# in 4 rounds either way, contraction +0.5 s; a 13.6k-edge graph already
+# repays it, -0.6 s; 152k-edge sf1-scale graph 16 -> 4 rounds, -3.9 s).
+# Data-size-adaptive, not core-count-tuned.
+_CONTRACT_MIN_EDGES = 10_000
 
 
 def _contract_edges(edges):
@@ -977,7 +984,7 @@ def min_label_components(labels, edges, extra_rounds: int = 2, contract: bool = 
     # a full-width shuffle. Restored in finally — the surrounding query is
     # unaffected.
     sess = labels.sparkSession
-    if contract:
+    if contract and edges.count() >= _CONTRACT_MIN_EDGES:
         # one no-shuffle pass over the (checkpointed) edges; the star
         # list replaces the edge list for every loop round below.
         # Contraction partitions size by a per-task row budget, NOT the
