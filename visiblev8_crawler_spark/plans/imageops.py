@@ -572,7 +572,7 @@ def _probe_masks(bits: int, radius: int = 2) -> list[int]:
 
 
 # occupancy threshold for the _mih_pairs regime switch (avg rows/bucket
-# above which the bucket-pair kernel beats the row-level probe join);
+# above which the rendezvous kernel beats the row-level probe join);
 # module-level so the cross-path equality gate can force either branch
 _MIH_KERNEL_MIN_OCC = 4
 
